@@ -1,0 +1,106 @@
+"""Static padded batching for variable-length proteins.
+
+The whole framework uses ONE data layout on device: everything padded to a
+length bucket, boolean masks for validity, edge lists padded to capacity
+with a mask (replacing the reference's flat offset-collate,
+utils/dataset_module.py:259-295 `CG_collate`).  A `PadSpec` pins every
+dynamic extent so each bucket compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from codlad_tpu.geometry import residues as R
+
+EDGE_KEYS = {
+    "atom_edges": 2,
+    "cg_edges": 2,
+    "bond_edges": 2,
+    "inter_edges": 2,
+    "pipi_pairs": 4,
+    "bb_no_edges": 2,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class PadSpec:
+    """Static extents of one compilation bucket."""
+
+    L: int  # modeled residues
+    atom_edges: int
+    cg_edges: int
+    bond_edges: int
+    inter_edges: int
+    pipi_pairs: int
+    bb_no_edges: int
+
+    def edge_capacity(self, key):
+        return getattr(self, key)
+
+
+def _round_up(n, multiple):
+    return int(math.ceil(max(n, 1) / multiple) * multiple)
+
+
+def spec_for(examples, length_multiple=16, edge_multiple=512) -> PadSpec:
+    """Smallest PadSpec covering a set of featurized examples."""
+    L = _round_up(max(len(e["res_type"]) for e in examples), length_multiple)
+    caps = {}
+    for key in EDGE_KEYS:
+        caps[key] = _round_up(max(len(e[key]) for e in examples), edge_multiple)
+    return PadSpec(L=L, **caps)
+
+
+def pad_example(ex, spec: PadSpec):
+    """Pad one example to a PadSpec; returns dict of fixed-shape arrays."""
+    L = spec.L
+    n = len(ex["res_type"])
+    assert n <= L, (n, L)
+    out = {}
+
+    def pad_to(a, length, axis=0):
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (0, length - a.shape[axis])
+        return np.pad(a, pad)
+
+    out["res_type"] = pad_to(ex["res_type"], L)
+    out["res_mask"] = pad_to(np.ones(n, dtype=bool), L)
+    out["chain_id"] = pad_to(ex["chain_id"], L)
+    out["cg_xyz_og"] = pad_to(ex["cg_xyz_og"], L + 2)
+    out["xyz14"] = pad_to(ex["xyz14"], L)
+    out["ic"] = pad_to(ex["ic"], L)
+    out["ic_mask"] = pad_to(ex["ic_mask"], L)
+    out["atom_mask"] = pad_to(ex["atom_mask"] & np.ones(n, dtype=bool)[:, None], L)
+    out["endpoint_mask"] = pad_to(ex["endpoint_mask"], L)
+    out["prot_idx"] = np.asarray(ex["prot_idx"], dtype=np.int32)
+
+    for key in EDGE_KEYS:
+        cap = spec.edge_capacity(key)
+        e = ex[key]
+        assert len(e) <= cap, (key, len(e), cap)
+        out[key] = pad_to(e.astype(np.int32), cap)
+        out[key + "_mask"] = pad_to(np.ones(len(e), dtype=bool), cap)
+    return out
+
+
+def collate(examples, spec: PadSpec | None = None):
+    """Stack featurized examples into one fixed-shape batch dict [B, ...]."""
+    spec = spec or spec_for(examples)
+    padded = [pad_example(e, spec) for e in examples]
+    return {k: np.stack([p[k] for p in padded]) for k in padded[0]}
+
+
+def flat_atom_offsets(batch):
+    """Per-sample offsets that lift [B, E, 2] edges into a global flat atom
+    index space of size B*L*14 (for segment reductions)."""
+    B, L = batch["res_type"].shape
+    return (np.arange(B) * L * R.MAX_ATOMS).astype(np.int32)
+
+
+def batch_sizes(batch):
+    B, L = batch["res_type"].shape
+    return B, L

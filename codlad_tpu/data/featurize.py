@@ -1,0 +1,209 @@
+"""Host-side featurization: atom14 structures -> training examples.
+
+Mirrors the reference featurizer (reference: utils/protein_module.py:695-872
+`build_ic_peptide_dataset`) but emits the framework's static padded atom14
+layout instead of flat offset-indexed graphs:
+
+  * per-frame internal coordinates (angles wrapped mod 2*pi),
+  * radius graphs (atom and CG) as undirected edge lists over flat
+    ``res*14+slot`` indices,
+  * an order-2 covalent bond-pair list for the graph loss,
+  * physics lists: H-bond/ion interactions, pi-pi ring-center pairs,
+    backbone N-O hydrogen-bond pairs.
+
+Everything here is numpy and runs in data-loading workers; devices never see
+ragged arrays — `batch.py` pads these examples to bucket shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from codlad_tpu.data.np_geometry import np_extract_ic
+from codlad_tpu.geometry import residues as R
+
+_FAR = 1.0e6  # sentinel offset that excludes absent atom slots from graphs
+
+
+@dataclasses.dataclass
+class FeaturizeConfig:
+    atom_cutoff: float = 9.0    # Å, atom radius graph (reference default)
+    cg_cutoff: float = 21.0     # Å, CG radius graph
+    bond_order: int = 2         # adjacency power for bond pairs
+    inter_cutoff: float = 3.3   # Å, HB/ion interaction list
+    bb_no_cutoff: float = 4.0   # Å, backbone N-O list
+
+
+def flat_index(L: int):
+    """Flat atom index of (res, slot) in the [L*14] space."""
+    return np.arange(L * R.MAX_ATOMS, dtype=np.int32).reshape(L, R.MAX_ATOMS)
+
+
+def _radius_edges(xyz_flat, valid, cutoff):
+    """Undirected (i<j) edges among valid flat atoms within cutoff."""
+    pos = np.where(valid[:, None], xyz_flat, _FAR * (1.0 + np.arange(len(valid), dtype=np.float64))[:, None])
+    d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+    ii, jj = np.where((d <= cutoff) & (np.triu(np.ones_like(d, dtype=bool), k=1)))
+    return np.stack([ii, jj], axis=-1).astype(np.int32)
+
+
+def bond_pairs(res_type, chain_id, order=2):
+    """Order-`order` covalent pairs (i<j) in flat atom14 index space.
+
+    Builds the covalent adjacency from the static per-restype bond tables
+    plus peptide bonds between consecutive residues of the same chain, then
+    expands to pairs with graph distance <= order (reference:
+    utils/protein_module.py:536-564).
+    """
+    L = len(res_type)
+    N = L * R.MAX_ATOMS
+    adj = np.zeros((N, N), dtype=bool)
+    idx = flat_index(L)
+    for i in range(L):
+        a = R.INTRA_BOND_ADJ[res_type[i]]
+        sl = idx[i]
+        adj[np.ix_(sl, sl)] |= a
+        if i + 1 < L and chain_id[i] == chain_id[i + 1]:
+            ci, nj = idx[i, R.PEPTIDE_BOND[0]], idx[i + 1, R.PEPTIDE_BOND[1]]
+            adj[ci, nj] = adj[nj, ci] = True
+    reach = adj.copy()
+    frontier = adj.copy()
+    for _ in range(order - 1):
+        frontier = frontier @ adj
+        reach |= frontier
+    np.fill_diagonal(reach, False)
+    exists = R.ATOM14_EXISTS[res_type].reshape(-1)
+    reach &= exists[:, None] & exists[None, :]
+    ii, jj = np.where(np.triu(reach, k=1))
+    return np.stack([ii, jj], axis=-1).astype(np.int32)
+
+
+_Z_TO_ELEM = {0: "", 1: "H", 6: "C", 7: "N", 8: "O", 15: "P", 16: "S", 34: "SE"}
+
+
+def _names_elements(res_type):
+    names = R.ATOM14_NAMES[res_type].reshape(-1)
+    z = R.ATOM14_ATOMIC_NUM[res_type].reshape(-1)
+    elem = np.array([_Z_TO_ELEM[int(zz)] for zz in z], dtype=object)
+    return names, elem
+
+
+def interaction_lists(res_type, chain_id, xyz_flat, valid, cfg: FeaturizeConfig):
+    """HB/ion, pi-pi, and backbone N-O lists (reference
+    utils/protein_module.py:808-865)."""
+    L = len(res_type)
+    names, elem = _names_elements(res_type)
+    res_seq = (np.arange(L, dtype=np.int64) + 5000 * chain_id.astype(np.int64))
+    seq_flat = np.repeat(res_seq, R.MAX_ATOMS)
+    res_flat = np.repeat(res_type, R.MAX_ATOMS)
+
+    pos = np.where(valid[:, None], xyz_flat, _FAR * (1.0 + np.arange(len(valid), dtype=np.float64))[:, None])
+    d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+
+    # --- HB / ion-ion interactions
+    src, dst = np.where((d <= cfg.inter_cutoff) & (d > 0.93))
+    not_adjacent = (
+        (seq_flat[src] != seq_flat[dst])
+        & (seq_flat[src] != seq_flat[dst] + 1)
+        & (seq_flat[dst] != seq_flat[src] + 1)
+    )
+    not_both_bb = ~np.isin(names[src], R.BACKBONE_NAMES) | ~np.isin(names[dst], R.BACKBONE_NAMES)
+    pair_elem = np.char.add(elem[src].astype(str), elem[dst].astype(str))
+    allowed = np.isin(pair_elem, R.HBOND_ELEMENT_PAIRS)
+    keep = not_adjacent & not_both_bb & allowed & (src < dst)
+    inter = np.stack([src[keep], dst[keep]], axis=-1).astype(np.int32)
+
+    # --- pi-pi ring-center pairs: anchors are within-residue CD1-CD2 pairs
+    # of PHE/TYR/TRP (the reference's HIS branch keys on a CD1 atom HIS does
+    # not have, so it never fires; reproduced as aromatics-only).
+    src, dst = np.where((d <= 8.0) & (d > 1.5))
+    same_res = seq_flat[src] == seq_flat[dst]
+    aromatic = np.isin(
+        res_flat[src],
+        [R.restype_index(x) for x in ("PHE", "TYR", "TRP")],
+    )
+    anchor = same_res & aromatic & (names[src] == "CD1") & (names[dst] == "CD2")
+    e1, e2 = src[anchor], dst[anchor]
+    if len(e1):
+        centers = (xyz_flat[e1] + xyz_flat[e2]) / 2.0
+        cd = np.linalg.norm(centers[:, None] - centers[None, :], axis=-1)
+        a, b = np.where((cd <= 5.5) & (cd >= 2.0))
+        pipi = np.stack([e1[a], e2[a], e1[b], e2[b]], axis=-1).astype(np.int32)
+        pipi = pipi[(pipi[:, 1] > pipi[:, 0]) & (pipi[:, 3] > pipi[:, 2]) & (pipi[:, 0] > pipi[:, 2])]
+    else:
+        pipi = np.zeros((0, 4), dtype=np.int32)
+
+    # --- backbone N(i+1)-O(i) hydrogen-bond partners
+    src, dst = np.where((d <= cfg.bb_no_cutoff) & (d > 1.5))
+    keep = (
+        (seq_flat[src] == seq_flat[dst] + 1)
+        & (names[src] == "N")
+        & (names[dst] == "O")
+    )
+    bb_no = np.stack([src[keep], dst[keep]], axis=-1).astype(np.int32)
+    return inter, pipi, bb_no
+
+
+def featurize_frame(res_type_og, chain_id_og, cg_xyz_og, xyz14, cfg: FeaturizeConfig | None = None,
+                    prot_idx: int = 0):
+    """Build one training example from a single frame.
+
+    Args:
+      res_type_og: [L+2] residue-type ids including the two global-terminal
+        residues (which only contribute their C-alpha as reference frames).
+      chain_id_og: [L+2] chain ids.
+      cg_xyz_og: [L+2, 3] C-alpha trace in Å.
+      xyz14: [L, 14, 3] heavy-atom positions of the modeled residues, Å.
+      cfg: cutoffs.
+      prot_idx: integer id of the protein this frame belongs to.
+
+    Returns a dict of unpadded numpy arrays (see data/batch.py for padding).
+    """
+    cfg = cfg or FeaturizeConfig()
+    res_type = np.asarray(res_type_og[1:-1], dtype=np.int32)
+    chain_id = np.asarray(chain_id_og[1:-1], dtype=np.int32)
+    L = len(res_type)
+
+    atom_mask = R.ATOM14_EXISTS[res_type]
+    ic = np_extract_ic(xyz14.astype(np.float64), cg_xyz_og.astype(np.float64), res_type, wrap=True)
+
+    # interior chain endpoints: residues whose prev/next CG belongs to a
+    # different chain — their ic rows reference a foreign frame, so they are
+    # masked from the ic loss and zeroed in the xyz loss (reference:
+    # utils/protein_module.py:754-765).
+    endpoint = np.zeros(L, dtype=bool)
+    endpoint |= chain_id_og[1:-1] != chain_id_og[:-2]
+    endpoint |= chain_id_og[1:-1] != chain_id_og[2:]
+    ic_mask = R.IC_MASK[res_type] & ~endpoint[:, None]
+
+    valid = atom_mask.reshape(-1)
+    xyz_flat = xyz14.reshape(-1, 3).astype(np.float64)
+
+    atom_edges = _radius_edges(xyz_flat, valid, cfg.atom_cutoff)
+    cg_here = cg_xyz_og[1:-1].astype(np.float64)
+    dcg = np.linalg.norm(cg_here[:, None] - cg_here[None, :], axis=-1)
+    ci, cj = np.where((dcg <= cfg.cg_cutoff) & np.triu(np.ones((L, L), dtype=bool), k=1))
+    cg_edges = np.stack([ci, cj], axis=-1).astype(np.int32)
+
+    bonds = bond_pairs(res_type, chain_id, order=cfg.bond_order)
+    inter, pipi, bb_no = interaction_lists(res_type, chain_id, xyz_flat, valid, cfg)
+
+    return {
+        "res_type": res_type,
+        "chain_id": chain_id,
+        "cg_xyz_og": cg_xyz_og.astype(np.float32),
+        "xyz14": xyz14.astype(np.float32),
+        "ic": ic.astype(np.float32),
+        "ic_mask": ic_mask,
+        "atom_mask": atom_mask,
+        "endpoint_mask": endpoint,
+        "atom_edges": atom_edges,
+        "cg_edges": cg_edges,
+        "bond_edges": bonds,
+        "inter_edges": inter,
+        "pipi_pairs": pipi,
+        "bb_no_edges": bb_no,
+        "prot_idx": np.int32(prot_idx),
+    }

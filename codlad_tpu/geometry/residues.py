@@ -153,3 +153,43 @@ ION_RESIDUES = ("ASP", "GLU", "ARG", "LYS")
 def restype_index(resname: str) -> int:
     """Map a 3-letter residue name to its type id."""
     return ONE_TO_IDX[THREE_TO_ONE[resname]]
+
+
+# Ring-closing bonds not implied by the Z-matrix parent chain, as (slot, slot)
+# pairs in canonical atom order.  The bonded parent of every side-chain atom
+# is the first reference of its Z-matrix triplet; rings additionally close.
+_RING_CLOSURES = {
+    "HIS": [(7, 9)],            # ND1-CE1
+    "PHE": [(8, 10)],           # CZ-CE2
+    "TYR": [(6, 10)],           # CD1-CE1
+    "TRP": [(8, 9), (11, 13)],  # NE1-CE2, CH2-CZ3
+    "PRO": [(5, 6)],            # CG-CD (CD's Z-matrix parent is N)
+}
+
+
+def _build_bond_adjacency():
+    """Intra-residue heavy-atom bond adjacency [22, 14, 14] (symmetric)."""
+    adj = np.zeros((NUM_RESTYPES, MAX_ATOMS, MAX_ATOMS), dtype=bool)
+
+    def bond(r, i, j):
+        adj[r, i, j] = True
+        adj[r, j, i] = True
+
+    for r in range(NUM_RESTYPES):
+        three = IDX_TO_THREE[r]
+        # backbone: O-C, N-CA, C-CA
+        bond(r, 0, 2)
+        bond(r, 1, 3)
+        bond(r, 2, 3)
+        # each side-chain atom bonds its placement parent (first triplet ref)
+        for k in range(RES_NATOMS[r] - NUM_BB):
+            bond(r, NUM_BB + k, SC_PARENTS[r, k, 2])
+        for i, j in _RING_CLOSURES.get(three, []):
+            bond(r, i, j)
+    return adj
+
+
+INTRA_BOND_ADJ = _build_bond_adjacency()
+
+# Peptide bond between consecutive residues links C (slot 2) to N (slot 1).
+PEPTIDE_BOND = (2, 1)

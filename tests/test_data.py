@@ -1,0 +1,110 @@
+"""Data layer tests: featurizer, synthetic generator, padded batching."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from codlad_tpu.data import batch as B
+from codlad_tpu.data.featurize import FeaturizeConfig, bond_pairs, featurize_frame
+from codlad_tpu.data.np_geometry import np_extract_ic, np_ic_to_xyz14
+from codlad_tpu.data.synthetic import random_protein, synthetic_examples
+from codlad_tpu.geometry import residues as R
+from codlad_tpu.geometry.internal import extract_ic, ic_to_xyz14
+
+
+def test_np_jax_geometry_agree():
+    rng = np.random.default_rng(0)
+    res_type_og, _, cg, xyz14 = random_protein(rng, 24)
+    res_type = res_type_og[1:-1]
+    ic_np = np_extract_ic(xyz14, cg, res_type, wrap=True)
+    ic_jax = np.asarray(extract_ic(jnp.asarray(xyz14)[None], jnp.asarray(cg)[None],
+                                   jnp.asarray(res_type)[None], wrap=True))[0]
+    mask = R.IC_MASK[res_type]
+    np.testing.assert_allclose(ic_np[mask], ic_jax[mask], atol=2e-3)
+
+    back_np = np_ic_to_xyz14(cg.astype(np.float64), ic_np.astype(np.float64), res_type)
+    # numpy path runs in f64; just check it reproduces the original structure
+    amask = R.ATOM14_EXISTS[res_type]
+    np.testing.assert_allclose(back_np[amask], xyz14[amask], atol=2e-2)
+
+
+def test_synthetic_structure_is_chemical():
+    rng = np.random.default_rng(1)
+    res_type_og, _, cg, xyz14 = random_protein(rng, 30)
+    res_type = res_type_og[1:-1]
+    # bonded parent distances ~ bond lengths
+    for i in range(len(res_type)):
+        r = res_type[i]
+        for k in range(int(R.SC_COUNT[r])):
+            parent = int(R.SC_PARENTS[r, k, 2])
+            d = np.linalg.norm(xyz14[i, 4 + k] - xyz14[i, parent])
+            assert 1.2 < d < 2.0, (i, k, d)
+    # CA spacing
+    ca_d = np.linalg.norm(np.diff(cg, axis=0), axis=-1)
+    assert np.all(np.abs(ca_d - 3.8) < 1.2)
+
+
+def test_featurize_frame_fields():
+    rng = np.random.default_rng(2)
+    inputs = random_protein(rng, 26)
+    ex = featurize_frame(*inputs, cfg=FeaturizeConfig())
+    L = 24
+    assert ex["res_type"].shape == (L,)
+    assert ex["ic"].shape == (L, 13, 3)
+    assert ex["xyz14"].shape == (L, 14, 3)
+    # atom radius edges: indices valid and within cutoff
+    e = ex["atom_edges"]
+    assert (e[:, 0] < e[:, 1]).all()
+    flat = ex["xyz14"].reshape(-1, 3)
+    d = np.linalg.norm(flat[e[:, 0]] - flat[e[:, 1]], axis=-1)
+    assert (d <= 9.0 + 1e-5).all()
+    # all endpoints of edges are existing atoms
+    exists = R.ATOM14_EXISTS[ex["res_type"]].reshape(-1)
+    assert exists[e].all()
+    # cg edges within cutoff
+    ce = ex["cg_edges"]
+    cg_here = ex["cg_xyz_og"][1:-1]
+    dcg = np.linalg.norm(cg_here[ce[:, 0]] - cg_here[ce[:, 1]], axis=-1)
+    assert (dcg <= 21.0 + 1e-4).all()
+    # bond pairs connect existing atoms (distances are not asserted: the
+    # synthetic generator draws random torsions, which do not close peptide
+    # bonds or rings exactly — fine for shape/throughput testing)
+    bp = ex["bond_edges"]
+    assert exists[bp].all()
+
+
+def test_bond_pairs_order2_simple():
+    # two ALA residues, same chain: check N-CA-C path gives order-2 pair
+    res_type = np.array([R.restype_index("ALA")] * 2, dtype=np.int32)
+    chain_id = np.zeros(2, dtype=np.int32)
+    bp = bond_pairs(res_type, chain_id, order=2)
+    pairs = set(map(tuple, bp.tolist()))
+
+    def f(res, slot):
+        return res * 14 + slot
+
+    # direct bonds present
+    assert (f(0, 1), f(0, 3)) in pairs  # N-CA
+    assert (f(0, 2), f(1, 1)) in pairs  # peptide C(0)-N(1)
+    # order-2: N..C via CA
+    assert (f(0, 1), f(0, 2)) in pairs
+    # order-2 across peptide bond: CA(0)..N(1) via C(0)
+    assert (f(0, 3), f(1, 1)) in pairs
+    # order-3 must be absent: N(0)..N(1) is 3 bonds away
+    assert (f(0, 1), f(1, 1)) not in pairs
+
+
+def test_collate_shapes_and_masks():
+    exs = synthetic_examples(3, 20, seed=3) + synthetic_examples(2, 30, seed=4, prot_idx=1)
+    spec = B.spec_for(exs, length_multiple=8, edge_multiple=64)
+    batch = B.collate(exs, spec)
+    assert batch["res_type"].shape == (5, spec.L)
+    assert batch["cg_xyz_og"].shape == (5, spec.L + 2, 3)
+    assert batch["atom_edges"].shape == (5, spec.atom_edges, 2)
+    assert batch["atom_edges_mask"].dtype == bool
+    # masks match true lengths
+    assert batch["res_mask"][0].sum() == 18
+    assert batch["res_mask"][3].sum() == 28
+    assert batch["prot_idx"].tolist() == [0, 0, 0, 1, 1]
+    # padded edge rows are zero
+    m = batch["atom_edges_mask"][0]
+    assert (batch["atom_edges"][0][~m] == 0).all()
