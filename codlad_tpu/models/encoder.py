@@ -1,0 +1,206 @@
+"""E(3) tensor-product graph encoder over atom14 proteins.
+
+TPU-first port of the reference Stage-1 encoder (reference:
+models/vae_model.py:21-204 `e3nnEncoder`): three interleaved graphs —
+
+  * atom radius graph (padded edge list, segment-sum aggregation),
+  * CG radius graph (padded edge list over residues),
+  * atom<->CG cross graph — which in the atom14 layout is DENSE: every atom
+    couples to exactly its own residue site, so the cross convolutions
+    become per-slot tensor products and the atom->CG aggregation is a
+    masked mean over the 14 slots (no scatter at all).
+
+The irreps ladder is `ns x0e -> +nv x1o -> +nv x1e -> +ns x0o` with
+spherical-harmonic edges (lmax=2), and the invariant readout concatenates
+atom and CG features, residue-averages, and projects to the latent width.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from codlad_tpu.geometry import residues as R
+from codlad_tpu.nn.basis import GaussianSmearing
+from codlad_tpu.nn.irreps import Irreps, sh_l2
+from codlad_tpu.nn.tensor_product import FullyConnectedTP, TPConv
+
+
+def irrep_ladder(ns, nv):
+    return [
+        Irreps(f"{ns}x0e"),
+        Irreps(f"{ns}x0e + {nv}x1o"),
+        Irreps(f"{ns}x0e + {nv}x1o + {nv}x1e"),
+        Irreps(f"{ns}x0e + {nv}x1o + {nv}x1e + {ns}x0o"),
+    ]
+
+
+def make_directed(edges, mask):
+    """[B, E, 2] one-way edges -> [B, 2E, 2] both directions."""
+    rev = edges[..., ::-1]
+    return jnp.concatenate([edges, rev], axis=1), jnp.concatenate([mask, mask], axis=1)
+
+
+def flatten_edges(edges, mask, nodes_per_sample):
+    """[B, E, 2] -> global flat (src, dst, mask) with per-sample offsets."""
+    B = edges.shape[0]
+    offs = (jnp.arange(B) * nodes_per_sample)[:, None, None]
+    e = (edges + offs).reshape(-1, 2)
+    return e[:, 0], e[:, 1], mask.reshape(-1)
+
+
+class EdgeEmbed(nn.Module):
+    ns: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.ns)(x)
+        h = nn.relu(h)
+        return nn.Dense(self.ns)(h)
+
+
+class E3Encoder(nn.Module):
+    n_atom_basis: int = 36
+    ns: int = 12
+    nv: int = 4
+    num_conv_layers: int = 3
+    atom_max_radius: float = 14.0
+    cg_max_radius: float = 26.0
+    cross_max_distance: float = 26.0
+    distance_embed_dim: int = 8
+    cross_distance_embed_dim: int = 8
+    in_edge_features: int = 4
+
+    @nn.compact
+    def __call__(self, batch):
+        """batch: padded dict (see data/batch.py). Returns [B, L,
+        n_atom_basis] per-residue invariant latents + validity mask."""
+        res_type = batch["res_type"]
+        B, L = res_type.shape
+        NA = L * R.MAX_ATOMS
+        ns = self.ns
+        sh_ir = Irreps("1x0e + 1x1o + 1x2e")
+        ladder = irrep_ladder(ns, self.nv)
+
+        atom_z = jnp.asarray(R.ATOM14_ATOMIC_NUM)[res_type]          # [B, L, 14]
+        atom_mask = batch["atom_mask"]
+        xyz = batch["xyz14"]                                          # [B, L, 14, 3]
+        cg_xyz = batch["cg_xyz_og"][:, 1:-1]                          # [B, L, 3]
+        res_mask = batch["res_mask"]
+
+        xyz_flat = xyz.reshape(B * NA, 3)
+        zf = (atom_z * atom_mask).reshape(B, NA)
+
+        # ---- atom graph
+        a_edges, a_mask = make_directed(batch["atom_edges"], batch["atom_edges_mask"])
+        a_src, a_dst, a_maskf = flatten_edges(a_edges, a_mask, NA)
+        r_ij = xyz_flat[a_dst] - xyz_flat[a_src]
+        atom_sh = sh_l2(r_ij)
+        zf_flat = zf.reshape(-1)
+        a_attr = jnp.concatenate([
+            zf_flat[a_src, None].astype(xyz.dtype),
+            zf_flat[a_dst, None].astype(xyz.dtype),
+            jnp.zeros((a_src.shape[0], self.in_edge_features), xyz.dtype),
+            GaussianSmearing(0.0, self.atom_max_radius, self.distance_embed_dim)(
+                jnp.linalg.norm(r_ij, axis=-1)),
+        ], axis=-1)
+        a_attr = EdgeEmbed(ns)(a_attr)
+        atom_feat = nn.Embed(30, ns)(zf.astype(jnp.int32)).reshape(B * NA, ns)
+        atom_feat = atom_feat * atom_mask.reshape(-1, 1)
+
+        # ---- CG graph
+        c_edges, c_mask = make_directed(batch["cg_edges"], batch["cg_edges_mask"])
+        c_src, c_dst, c_maskf = flatten_edges(c_edges, c_mask, L)
+        cg_flat = cg_xyz.reshape(B * L, 3)
+        r_IJ = cg_flat[c_dst] - cg_flat[c_src]
+        cg_sh = sh_l2(r_IJ)
+        cgz_flat = res_type.reshape(-1)
+        c_attr = jnp.concatenate([
+            cgz_flat[c_src, None].astype(xyz.dtype),
+            cgz_flat[c_dst, None].astype(xyz.dtype),
+            jnp.zeros((c_src.shape[0], self.in_edge_features), xyz.dtype),
+            GaussianSmearing(0.0, self.cg_max_radius, self.distance_embed_dim)(
+                jnp.linalg.norm(r_IJ, axis=-1)),
+        ], axis=-1)
+        c_attr = EdgeEmbed(ns)(c_attr)
+        cg_feat = nn.Embed(30, ns)(res_type).reshape(B * L, ns)
+        cg_feat = cg_feat * res_mask.reshape(-1, 1)
+
+        # ---- cross graph: dense atom <-> own-residue site
+        r_iI = xyz - cg_xyz[:, :, None, :]                            # [B, L, 14, 3]
+        cross_sh = sh_l2(r_iI)                                        # [B, L, 14, 9]
+        cross_attr = GaussianSmearing(0.0, self.cross_max_distance,
+                                      self.cross_distance_embed_dim)(
+            jnp.linalg.norm(r_iI, axis=-1))
+        cross_attr = EdgeEmbed(ns)(cross_attr)                        # [B, L, 14, ns]
+        amask_f = atom_mask.astype(xyz.dtype)
+
+        for l in range(self.num_conv_layers):
+            in_ir = ladder[min(l, 3)]
+            out_ir = ladder[min(l + 1, 3)]
+            conv = dict(in_irreps=tuple(in_ir), sh_irreps=tuple(sh_ir),
+                        out_irreps=tuple(out_ir), n_edge_features=3 * ns,
+                        hidden_features=3 * ns, residual=False)
+
+            # atom intra-graph messages
+            a_attr_full = jnp.concatenate(
+                [a_attr, atom_feat[a_src, :ns], atom_feat[a_dst, :ns]], axis=-1)
+            atom_intra = TPConv(**conv)(atom_feat, a_src, a_dst, a_attr_full,
+                                        atom_sh, a_maskf)
+
+            # CG -> atom cross messages (dense: one CG parent per atom)
+            cg_feat_blk = cg_feat.reshape(B, L, -1)
+            cross_full = jnp.concatenate([
+                cross_attr,
+                atom_feat.reshape(B, L, R.MAX_ATOMS, -1)[..., :ns],
+                jnp.broadcast_to(cg_feat_blk[:, :, None, :ns],
+                                 (B, L, R.MAX_ATOMS, ns)),
+            ], axis=-1)
+            tp_c2a = FullyConnectedTP(tuple(in_ir), tuple(sh_ir), tuple(out_ir))
+            hidden = 3 * ns
+            w = nn.Dense(tp_c2a.weight_numel)(nn.relu(nn.Dense(hidden)(cross_full)))
+            atom_inter = tp_c2a(
+                jnp.broadcast_to(cg_feat_blk[:, :, None, :],
+                                 (B, L, R.MAX_ATOMS, cg_feat_blk.shape[-1])),
+                cross_sh, w)
+            atom_inter = (atom_inter * amask_f[..., None]).reshape(B * NA, -1)
+
+            if l != self.num_conv_layers - 1:
+                c_attr_full = jnp.concatenate(
+                    [c_attr, cg_feat[c_src, :ns], cg_feat[c_dst, :ns]], axis=-1)
+                cg_intra = TPConv(**conv)(cg_feat, c_src, c_dst, c_attr_full,
+                                          cg_sh, c_maskf)
+                # atom -> CG: masked mean over the residue's atom slots
+                tp_a2c = FullyConnectedTP(tuple(in_ir), tuple(sh_ir), tuple(out_ir))
+                w2 = nn.Dense(tp_a2c.weight_numel)(nn.relu(nn.Dense(hidden)(cross_full)))
+                msg_a2c = tp_a2c(atom_feat.reshape(B, L, R.MAX_ATOMS, -1),
+                                 cross_sh, w2)
+                msg_a2c = msg_a2c * amask_f[..., None]
+                denom = jnp.maximum(amask_f.sum(-1, keepdims=True), 1.0)
+                cg_inter = (msg_a2c.sum(2) / denom).reshape(B * L, -1)
+
+            pad = atom_intra.shape[-1] - atom_feat.shape[-1]
+            atom_feat = jnp.pad(atom_feat, ((0, 0), (0, pad))) + atom_intra + atom_inter
+
+            if l != self.num_conv_layers - 1:
+                padc = cg_intra.shape[-1] - cg_feat.shape[-1]
+                cg_feat = jnp.pad(cg_feat, ((0, 0), (0, padc))) + cg_intra + cg_inter
+
+        # readout: concat atom features with their residue's CG features,
+        # residue-mean, project (reference vae_model.py:161-164)
+        atom_feat = atom_feat.reshape(B, L, R.MAX_ATOMS, -1)
+        cg_feat = cg_feat.reshape(B, L, -1)
+        node = jnp.concatenate([
+            atom_feat,
+            jnp.broadcast_to(cg_feat[:, :, None, :],
+                             (B, L, R.MAX_ATOMS, cg_feat.shape[-1])),
+        ], axis=-1)
+        node = node * amask_f[..., None]
+        denom = jnp.maximum(amask_f.sum(-1, keepdims=True), 1.0)
+        per_res = node.sum(2) / denom                                  # [B, L, 84]
+
+        h = nn.Dense(self.n_atom_basis)(per_res)
+        h = jnp.tanh(h)
+        h = nn.Dense(self.n_atom_basis)(h)
+        return h * res_mask[..., None]

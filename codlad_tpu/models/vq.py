@@ -1,0 +1,119 @@
+"""Vector quantization: EMA codebook and FSQ, as pure functional state.
+
+On TPU the nearest-codeword search is a single [N, D] x [D, K] matmul on
+the MXU — no custom kernel needed at these sizes (K=4096, D=3).  The EMA
+codebook update is expressed as explicit state-in/state-out so it stays
+correct under data parallelism: the per-batch statistics (cluster counts and
+embed sums) are plain reductions over the batch, which XLA turns into global
+reductions when the batch is sharded over the mesh (the reference trains
+Stage 1 single-GPU and keeps the codebook as torch buffers,
+utils/vq_module.py:39-163).
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@flax.struct.dataclass
+class VQState:
+    codebook: jnp.ndarray      # [n_codes, dim]
+    cluster_size: jnp.ndarray  # [n_codes] EMA of assignment counts
+    embed_avg: jnp.ndarray     # [n_codes, dim] EMA of assigned-vector sums
+
+
+def vq_init(rng, n_codes, dim, scale=1.0):
+    # uniform in [-1/n, 1/n] like common VQ inits; the EMA pulls codes to the
+    # data distribution within a few hundred steps either way.
+    init = jax.random.uniform(rng, (n_codes, dim), minval=-1.0, maxval=1.0)
+    init = init * scale / np.sqrt(dim)
+    return VQState(codebook=init, cluster_size=jnp.zeros(n_codes),
+                   embed_avg=init)
+
+
+def nearest_code(codebook, z_flat):
+    """argmin_k |z - e_k|^2 via the matmul expansion (MXU-friendly)."""
+    dist = (
+        jnp.sum(z_flat**2, axis=-1, keepdims=True)
+        - 2.0 * z_flat @ codebook.T
+        + jnp.sum(codebook**2, axis=-1)[None, :]
+    )
+    return jnp.argmin(dist, axis=-1)
+
+
+def vq_quantize(state: VQState, z, mask=None, *, train=False, decay=0.99,
+                commitment_weight=0.25, epsilon=1e-5):
+    """Quantize z [..., D] against the codebook.
+
+    Returns (z_q with straight-through gradients, indices, commit_loss,
+    new_state).  `mask` (broadcastable to z[..., 0]) excludes padded
+    positions from both the loss and the EMA statistics.
+    """
+    D = z.shape[-1]
+    z_flat = z.reshape(-1, D)
+    idx = nearest_code(state.codebook, z_flat)
+    quantized = state.codebook[idx].reshape(z.shape)
+
+    if mask is None:
+        maskf = jnp.ones(z.shape[:-1], z.dtype)
+    else:
+        maskf = jnp.broadcast_to(mask, z.shape[:-1]).astype(z.dtype)
+    m_flat = maskf.reshape(-1)
+
+    diff = (z - jax.lax.stop_gradient(quantized)) ** 2
+    denom = jnp.maximum(maskf.sum() * D, 1.0)
+    commit_loss = commitment_weight * jnp.sum(diff * maskf[..., None]) / denom
+
+    if train:
+        n_codes = state.codebook.shape[0]
+        onehot = jax.nn.one_hot(idx, n_codes, dtype=z.dtype) * m_flat[:, None]
+        bins = onehot.sum(0)                      # [K]; global under DP
+        dw = onehot.T @ jax.lax.stop_gradient(z_flat)
+        cluster_size = state.cluster_size * decay + bins * (1 - decay)
+        embed_avg = state.embed_avg * decay + dw * (1 - decay)
+        n = cluster_size.sum()
+        smoothed = (cluster_size + epsilon) / (n + n_codes * epsilon) * n
+        codebook = embed_avg / smoothed[:, None]
+        # freeze codes never assigned yet (smoothed ~ 0 would blow up)
+        codebook = jnp.where(cluster_size[:, None] > 1e-3, codebook, state.codebook)
+        new_state = VQState(codebook=codebook, cluster_size=cluster_size,
+                            embed_avg=embed_avg)
+    else:
+        new_state = state
+
+    z_q = z + jax.lax.stop_gradient(quantized - z)
+    return z_q, idx.reshape(z.shape[:-1]), commit_loss, new_state
+
+
+# ---------------------------------------------------------------------------
+# FSQ (finite scalar quantization), levels like [7, 5, 5, 5, 5]
+# (reference config: utils/vq_module.py:118-121)
+
+
+def _round_ste(z):
+    return z + jax.lax.stop_gradient(jnp.round(z) - z)
+
+
+def fsq_quantize(z, levels):
+    """FSQ: bound each channel, round to `levels` integers, renormalize.
+
+    z: [..., len(levels)]. Returns (z_q in [-1, 1], flat indices).
+    """
+    levels = np.asarray(levels)
+    assert z.shape[-1] == len(levels)
+    half_l = (levels - 1) * (1 + 1e-3) / 2
+    offset = np.where(levels % 2 == 0, 0.5, 0.0)
+    shift = np.arctanh(offset / half_l)
+    bounded = jnp.tanh(z + shift) * half_l - offset
+    quantized = _round_ste(bounded)
+    half_width = levels // 2
+    z_q = quantized / half_width
+
+    # codebook indices: mixed-radix encoding
+    digits = jnp.round(bounded) + half_width  # in [0, levels)
+    basis = np.concatenate([[1], np.cumprod(levels[:-1])])
+    idx = jnp.sum(digits * basis, axis=-1).astype(jnp.int32)
+    return z_q, idx

@@ -1,0 +1,268 @@
+"""ProteinMPNN-style kNN graph blocks with adaLN timestep conditioning.
+
+TPU-first port of the reference denoiser building blocks (reference:
+models/protein_mpnn_utils.py:97-523): dense padded [B, L, K] neighbor
+tensors, masked pairwise distances + `lax.top_k` for the kNN graph, and
+edge/node message MLPs that lower onto the MXU as large batched matmuls.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gather_nodes(nodes, neighbor_idx):
+    """nodes [B,N,C], idx [B,N,K] -> [B,N,K,C]."""
+    B, N, C = nodes.shape
+    K = neighbor_idx.shape[-1]
+    flat = neighbor_idx.reshape(B, N * K, 1)
+    out = jnp.take_along_axis(nodes, flat, axis=1)
+    return out.reshape(B, N, K, C)
+
+
+def gather_edges(edges, neighbor_idx):
+    """edges [B,N,N,C], idx [B,N,K] -> [B,N,K,C]."""
+    return jnp.take_along_axis(edges, neighbor_idx[..., None], axis=2)
+
+
+def cat_neighbors_nodes(h_nodes, h_neighbors, E_idx):
+    return jnp.concatenate([h_neighbors, gather_nodes(h_nodes, E_idx)], axis=-1)
+
+
+class PositionWiseFeedForward(nn.Module):
+    num_hidden: int
+    num_ff: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = jax.nn.gelu(nn.Dense(self.num_ff)(x), approximate=False)
+        return nn.Dense(self.num_hidden)(h)
+
+
+class PositionalEncodings(nn.Module):
+    """Relative sequence-offset one-hot -> linear (clipped at +/-32)."""
+
+    num_embeddings: int
+    max_relative_feature: int = 32
+
+    @nn.compact
+    def __call__(self, offset, mask):
+        m = self.max_relative_feature
+        d = jnp.clip(offset + m, 0, 2 * m) * mask + (1 - mask) * (2 * m + 1)
+        d_onehot = jax.nn.one_hot(d, 2 * m + 2)
+        return nn.Dense(self.num_embeddings)(d_onehot)
+
+
+def _quaternions(Rm):
+    """Rotation matrices [...,3,3] -> unit quaternions [...,4]."""
+    diag = jnp.diagonal(Rm, axis1=-2, axis2=-1)
+    Rxx, Ryy, Rzz = diag[..., 0], diag[..., 1], diag[..., 2]
+    magnitudes = 0.5 * jnp.sqrt(
+        jnp.abs(1 + jnp.stack([Rxx - Ryy - Rzz, -Rxx + Ryy - Rzz, -Rxx - Ryy + Rzz], axis=-1))
+    )
+    signs = jnp.sign(jnp.stack([
+        Rm[..., 2, 1] - Rm[..., 1, 2],
+        Rm[..., 0, 2] - Rm[..., 2, 0],
+        Rm[..., 1, 0] - Rm[..., 0, 1],
+    ], axis=-1))
+    xyz = signs * magnitudes
+    w = jnp.sqrt(jax.nn.relu(1 + diag.sum(-1, keepdims=True))) / 2.0
+    q = jnp.concatenate([xyz, w], axis=-1)
+    # degenerate frames (masked CA jumps) can give q == 0; clamp like
+    # torch.nn.functional.normalize does
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+
+def _normalize(v, axis=-1, eps=1e-8):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+
+
+class CAProteinFeatures(nn.Module):
+    """C-alpha-only structure featurizer -> (edge embeddings, kNN indices).
+
+    Dense masked pairwise distances + top-k (reference:
+    models/protein_mpnn_utils.py:347-523 `CA_ProteinFeatures`): 9 RBF sets
+    over shifted C-alpha triplets, local-frame orientation quaternions, and
+    relative positional encodings.
+    """
+
+    edge_features: int
+    num_positional_embeddings: int = 16
+    num_rbf: int = 16
+    top_k: int = 30
+    augment_eps: float = 0.0
+
+    def _dist(self, X, mask):
+        mask_2d = mask[:, None, :] * mask[:, :, None]
+        dX = X[:, None, :, :] - X[:, :, None, :]
+        D = mask_2d * jnp.sqrt(jnp.sum(dX**2, axis=-1) + 1e-6)
+        D_max = jnp.max(D, axis=-1, keepdims=True)
+        D_adjust = D + (1.0 - mask_2d) * D_max
+        k = min(self.top_k, X.shape[1])
+        neg_top, E_idx = jax.lax.top_k(-D_adjust, k)
+        return -neg_top, E_idx
+
+    def _rbf(self, D):
+        D_min, D_max, D_count = 2.0, 22.0, self.num_rbf
+        D_mu = jnp.linspace(D_min, D_max, D_count)
+        D_sigma = (D_max - D_min) / D_count
+        return jnp.exp(-(((D[..., None] - D_mu) / D_sigma) ** 2))
+
+    def _get_rbf(self, A, B, E_idx):
+        D = jnp.sqrt(jnp.sum((A[:, :, None, :] - B[:, None, :, :]) ** 2, axis=-1) + 1e-6)
+        D_nbr = jnp.take_along_axis(D, E_idx, axis=2)
+        return self._rbf(D_nbr)
+
+    def _orientations(self, X, E_idx, eps=1e-6):
+        dX = X[:, 1:, :] - X[:, :-1, :]
+        dX_norm = jnp.linalg.norm(dX, axis=-1)
+        dX_mask = ((3.6 < dX_norm) & (dX_norm < 4.0)).astype(X.dtype)
+        dX = dX * dX_mask[..., None]
+        U = _normalize(dX)
+        u_2, u_1, u_0 = U[:, :-2], U[:, 1:-1], U[:, 2:]
+        n_2 = _normalize(jnp.cross(u_2, u_1))
+        n_1 = _normalize(jnp.cross(u_1, u_0))
+
+        cosA = jnp.clip(-(u_1 * u_0).sum(-1), -1 + eps, 1 - eps)
+        A = jnp.arccos(cosA)
+        cosD = jnp.clip((n_2 * n_1).sum(-1), -1 + eps, 1 - eps)
+        D = jnp.sign((u_2 * n_1).sum(-1)) * jnp.arccos(cosD)
+        AD = jnp.stack([jnp.cos(A), jnp.sin(A) * jnp.cos(D), jnp.sin(A) * jnp.sin(D)], axis=2)
+        AD = jnp.pad(AD, ((0, 0), (1, 2), (0, 0)))
+
+        o_1 = _normalize(u_2 - u_1)
+        O = jnp.stack([o_1, n_2, jnp.cross(o_1, n_2)], axis=2)
+        O = O.reshape(O.shape[0], O.shape[1], 9)
+        O = jnp.pad(O, ((0, 0), (1, 2), (0, 0)))
+        O_neighbors = gather_nodes(O, E_idx)
+        X_neighbors = gather_nodes(X, E_idx)
+
+        Om = O.reshape(O.shape[0], O.shape[1], 3, 3)
+        On = O_neighbors.reshape(O_neighbors.shape[:3] + (3, 3))
+        dXn = X_neighbors - X[:, :, None, :]
+        dU = _normalize(jnp.einsum("blij,blkj->blki", Om, dXn))
+        Rmat = jnp.einsum("blji,blkjm->blkim", Om, On)
+        Q = _quaternions(Rmat)
+        return AD, jnp.concatenate([dU, Q], axis=-1)
+
+    @nn.compact
+    def __call__(self, Ca, mask, residue_idx, chain_labels, rng=None):
+        if self.augment_eps > 0 and rng is not None:
+            Ca = Ca + self.augment_eps * jax.random.normal(rng, Ca.shape, Ca.dtype)
+
+        D_neighbors, E_idx = self._dist(Ca, mask)
+
+        Ca_0 = jnp.pad(Ca[:, :-1], ((0, 0), (1, 0), (0, 0)))
+        Ca_1 = Ca
+        Ca_2 = jnp.pad(Ca[:, 1:], ((0, 0), (0, 1), (0, 0)))
+
+        _, O_features = self._orientations(Ca, E_idx)
+
+        rbf_all = [self._rbf(D_neighbors)]
+        for A, Bc in [(Ca_0, Ca_0), (Ca_2, Ca_2), (Ca_0, Ca_1), (Ca_0, Ca_2),
+                      (Ca_1, Ca_0), (Ca_1, Ca_2), (Ca_2, Ca_0), (Ca_2, Ca_1)]:
+            rbf_all.append(self._get_rbf(A, Bc, E_idx))
+        rbf_all = jnp.concatenate(rbf_all, axis=-1)
+
+        offset = residue_idx[:, :, None] - residue_idx[:, None, :]
+        offset = jnp.take_along_axis(offset, E_idx, axis=2)
+        d_chains = (chain_labels[:, :, None] - chain_labels[:, None, :] == 0).astype(jnp.int32)
+        E_chains = jnp.take_along_axis(d_chains, E_idx, axis=2)
+        E_positional = PositionalEncodings(self.num_positional_embeddings)(offset, E_chains)
+
+        E = jnp.concatenate([E_positional, rbf_all, O_features], axis=-1)
+        E = nn.Dense(self.edge_features, use_bias=False)(E)
+        E = nn.LayerNorm()(E)
+        return E, E_idx
+
+
+def modulate(x, shift, scale):
+    """x [B, L, ...] modulated by per-sample shift/scale [B, H]."""
+    extra = x.ndim - 2
+    shape = (x.shape[0],) + (1,) * extra + (x.shape[-1],)
+    return x * (1 + scale.reshape(shape)) + shift.reshape(shape)
+
+
+class EncLayerDiffusion(nn.Module):
+    """Encoder layer: node+edge updates with 9-way adaLN modulation
+    (reference: models/protein_mpnn_utils.py:208-271)."""
+
+    num_hidden: int
+    num_in: int
+    dropout: float = 0.1
+    scale: float = 30.0
+
+    @nn.compact
+    def __call__(self, h_V, h_E, E_idx, mask_V=None, mask_attend=None, c=None,
+                 deterministic=True):
+        mods = nn.Dense(9 * self.num_hidden, kernel_init=nn.initializers.zeros,
+                        bias_init=nn.initializers.zeros)(jax.nn.silu(c))
+        (sh1, sc1, g1, sh2, sc2, g2, sh3, sc3, g3) = jnp.split(mods, 9, axis=-1)
+
+        ln = lambda: nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)
+        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        act = lambda x: jax.nn.gelu(x, approximate=False)
+
+        h_EV = cat_neighbors_nodes(h_V, h_E, E_idx)
+        h_V_expand = jnp.broadcast_to(h_V[:, :, None, :], h_EV.shape[:3] + (h_V.shape[-1],))
+        h_EV = jnp.concatenate([h_V_expand, h_EV], axis=-1)
+        h_message = nn.Dense(self.num_hidden)(act(nn.Dense(self.num_hidden)(act(nn.Dense(self.num_hidden)(h_EV)))))
+        if mask_attend is not None:
+            h_message = mask_attend[..., None] * h_message
+        dh = jnp.sum(h_message, axis=-2) / self.scale
+        h_V = ln()(h_V + drop(dh))
+        h_V = g1[:, None, :] * modulate(h_V, sh1, sc1)
+
+        dh = PositionWiseFeedForward(self.num_hidden, self.num_hidden * 4)(h_V)
+        h_V = ln()(h_V + drop(dh))
+        h_V = g2[:, None, :] * modulate(h_V, sh2, sc2)
+        if mask_V is not None:
+            h_V = mask_V[..., None] * h_V
+
+        h_EV = cat_neighbors_nodes(h_V, h_E, E_idx)
+        h_V_expand = jnp.broadcast_to(h_V[:, :, None, :], h_EV.shape[:3] + (h_V.shape[-1],))
+        h_EV = jnp.concatenate([h_V_expand, h_EV], axis=-1)
+        h_message = nn.Dense(self.num_hidden)(act(nn.Dense(self.num_hidden)(act(nn.Dense(self.num_hidden)(h_EV)))))
+        h_E = ln()(h_E + drop(h_message))
+        h_E = g3[:, None, None, :] * modulate(h_E, sh3, sc3)
+        return h_V, h_E
+
+
+class DecLayerDiffusion(nn.Module):
+    """Decoder layer: node updates with 6-way adaLN modulation
+    (reference: models/protein_mpnn_utils.py:274-318)."""
+
+    num_hidden: int
+    num_in: int
+    dropout: float = 0.1
+    scale: float = 30.0
+
+    @nn.compact
+    def __call__(self, h_V, h_E, mask_V=None, mask_attend=None, c=None,
+                 deterministic=True):
+        mods = nn.Dense(6 * self.num_hidden, kernel_init=nn.initializers.zeros,
+                        bias_init=nn.initializers.zeros)(jax.nn.silu(c))
+        sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mods, 6, axis=-1)
+
+        ln = lambda: nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)
+        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        act = lambda x: jax.nn.gelu(x, approximate=False)
+
+        h_V_expand = jnp.broadcast_to(h_V[:, :, None, :], h_E.shape[:3] + (h_V.shape[-1],))
+        h_EV = jnp.concatenate([h_V_expand, h_E], axis=-1)
+        h_message = nn.Dense(self.num_hidden)(act(nn.Dense(self.num_hidden)(act(nn.Dense(self.num_hidden)(h_EV)))))
+        if mask_attend is not None:
+            h_message = mask_attend[..., None] * h_message
+        dh = jnp.sum(h_message, axis=-2) / self.scale
+        h_V = ln()(h_V + drop(dh))
+        h_V = g1[:, None, :] * modulate(h_V, sh1, sc1)
+
+        dh = PositionWiseFeedForward(self.num_hidden, self.num_hidden * 4)(h_V)
+        h_V = ln()(h_V + drop(dh))
+        h_V = g2[:, None, :] * modulate(h_V, sh2, sc2)
+        if mask_V is not None:
+            h_V = mask_V[..., None] * h_V
+        return h_V

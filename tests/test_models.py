@@ -1,0 +1,165 @@
+"""Model tests: shapes, jit-ability, masking and invariance properties."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from codlad_tpu.data import batch as B
+from codlad_tpu.data.synthetic import synthetic_examples
+from codlad_tpu.models.decoder import ICDecoder
+from codlad_tpu.models.denoiser import MPNNDenoiser, mpnn_diffusion
+from codlad_tpu.models.encoder import E3Encoder
+from codlad_tpu.models.prior import CGPrior
+from codlad_tpu.models.vae import VAE
+from codlad_tpu.models.vq import fsq_quantize, nearest_code, vq_init, vq_quantize
+
+
+@pytest.fixture(scope="module")
+def small_batch():
+    exs = synthetic_examples(2, 18, seed=0)
+    spec = B.spec_for(exs, length_multiple=8, edge_multiple=128)
+    batch = B.collate(exs, spec)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def test_encoder_shapes_and_translation_invariance(small_batch):
+    enc = E3Encoder(n_atom_basis=36)
+    params = enc.init(jax.random.PRNGKey(0), small_batch)
+    h = enc.apply(params, small_batch)
+    Bsz, L = small_batch["res_type"].shape
+    assert h.shape == (Bsz, L, 36)
+    assert np.isfinite(np.asarray(h)).all()
+    # translating the whole structure must not change the output
+    shifted = dict(small_batch)
+    shifted["xyz14"] = small_batch["xyz14"] + 5.0
+    shifted["cg_xyz_og"] = small_batch["cg_xyz_og"] + 5.0
+    h2 = enc.apply(params, shifted)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h2), atol=3e-4)
+
+
+def test_encoder_padding_independence(small_batch):
+    """Garbage in padded residues must not leak into valid outputs."""
+    enc = E3Encoder(n_atom_basis=36)
+    params = enc.init(jax.random.PRNGKey(0), small_batch)
+    h = enc.apply(params, small_batch)
+    poisoned = dict(small_batch)
+    res_mask = np.asarray(small_batch["res_mask"])
+    rng = np.random.default_rng(0)
+    xyz = np.asarray(small_batch["xyz14"]).copy()
+    xyz[~res_mask] = rng.normal(size=xyz[~res_mask].shape) * 100
+    poisoned["xyz14"] = jnp.asarray(xyz)
+    h2 = enc.apply(params, poisoned)
+    np.testing.assert_allclose(
+        np.asarray(h)[res_mask], np.asarray(h2)[res_mask], atol=1e-4)
+
+
+def test_decoder_shapes(small_batch):
+    dec = ICDecoder(n_atom_basis=36)
+    Bsz, L = small_batch["res_type"].shape
+    latents = jnp.zeros((Bsz, L, 36))
+    params = dec.init(jax.random.PRNGKey(0), small_batch, latents)
+    ic = dec.apply(params, small_batch, latents)
+    assert ic.shape == (Bsz, L, 13, 3)
+    assert np.isfinite(np.asarray(ic)).all()
+
+
+def test_prior_shapes(small_batch):
+    prior = CGPrior(n_atom_basis=36)
+    params = prior.init(jax.random.PRNGKey(0), small_batch)
+    mu, sigma = prior.apply(params, small_batch)
+    assert mu.shape == sigma.shape == small_batch["res_type"].shape + (36,)
+    assert (np.asarray(sigma) >= 0).all()
+
+
+def test_vae_end_to_end_jit(small_batch):
+    vae = VAE(embed_dim=36, vqdim=3, mode="vqvae")
+    params = vae.init(jax.random.PRNGKey(0), small_batch)
+
+    @jax.jit
+    def run(p, b):
+        h = vae.apply(p, b, method=VAE.encode)[0]
+        return h, vae.apply(p, b, h, method=VAE.decode)
+
+    h, ic = run(params, small_batch)
+    Bsz, L = small_batch["res_type"].shape
+    assert h.shape == (Bsz, L, 3)
+    assert ic.shape == (Bsz, L, 13, 3)
+
+
+def test_vq_quantize_roundtrip_and_ema():
+    rng = jax.random.PRNGKey(0)
+    state = vq_init(rng, 64, 3)
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, 10, 3))
+    mask = jnp.ones((4, 10), dtype=bool)
+    zq, idx, loss, new_state = vq_quantize(state, z, mask, train=True)
+    assert zq.shape == z.shape
+    assert idx.shape == (4, 10)
+    assert float(loss) > 0
+    # straight-through: gradient of sum(zq) w.r.t. z is ones
+    g = jax.grad(lambda zz: vq_quantize(state, zz, mask, train=False)[0].sum())(z)
+    np.testing.assert_allclose(np.asarray(g), np.ones_like(g), atol=1e-6)
+    # EMA moved the assigned codes toward the data
+    assert float(jnp.abs(new_state.codebook - state.codebook).sum()) > 0
+    # eval mode: quantized values are codebook rows
+    zq_eval, idx_eval, _, st = vq_quantize(new_state, z, mask, train=False)
+    np.testing.assert_allclose(
+        np.asarray(zq_eval), np.asarray(new_state.codebook[idx_eval]), atol=1e-6)
+
+
+def test_vq_mask_excludes_padding():
+    state = vq_init(jax.random.PRNGKey(0), 32, 3)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 3))
+    mask = jnp.array([[True] * 6, [True] * 3 + [False] * 3])
+    _, _, _, st1 = vq_quantize(state, z, mask, train=True)
+    z_poison = z.at[1, 3:].set(1e3)
+    _, _, _, st2 = vq_quantize(state, z_poison, mask, train=True)
+    np.testing.assert_allclose(np.asarray(st1.codebook), np.asarray(st2.codebook), atol=1e-5)
+
+
+def test_fsq():
+    z = jax.random.normal(jax.random.PRNGKey(0), (8, 5)) * 2
+    zq, idx = fsq_quantize(z, [7, 5, 5, 5, 5])
+    assert zq.shape == z.shape
+    assert (np.asarray(zq) <= 1.0 + 1e-6).all() and (np.asarray(zq) >= -1.0 - 1e-6).all()
+    assert (np.asarray(idx) >= 0).all() and (np.asarray(idx) < 7 * 5**4).all()
+
+
+def test_denoiser_forward_and_jit(small_batch):
+    model = mpnn_diffusion(input_size=3, learn_sigma=True, k_neighbors=8, dropout=0.0)
+    Bsz, L = small_batch["res_type"].shape
+    x = jax.random.normal(jax.random.PRNGKey(0), (Bsz, L, 3))
+    t = jnp.array([10, 500])
+    mask = small_batch["res_mask"]
+    cg = small_batch["cg_xyz_og"][:, 1:-1]
+    params = model.init(jax.random.PRNGKey(1), x, t, small_batch["res_type"], cg, mask)
+
+    @jax.jit
+    def fwd(p, x, t):
+        return model.apply(p, x, t, small_batch["res_type"], cg, mask)
+
+    out = fwd(params, x, t)
+    assert out.shape == (Bsz, L, 6)  # mean + learned-range variance
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_denoiser_padding_independence(small_batch):
+    model = mpnn_diffusion(input_size=3, learn_sigma=True, k_neighbors=8, dropout=0.0)
+    Bsz, L = small_batch["res_type"].shape
+    x = jax.random.normal(jax.random.PRNGKey(0), (Bsz, L, 3))
+    t = jnp.array([10, 500])
+    mask = small_batch["res_mask"]
+    cg = small_batch["cg_xyz_og"][:, 1:-1]
+    params = model.init(jax.random.PRNGKey(1), x, t, small_batch["res_type"], cg, mask)
+    out = model.apply(params, x, t, small_batch["res_type"], cg, mask)
+    x2 = jnp.where(mask[..., None], x, 77.0)
+    out2 = model.apply(params, x2, t, small_batch["res_type"], cg, mask)
+    m = np.asarray(mask)
+    np.testing.assert_allclose(np.asarray(out)[m], np.asarray(out2)[m], atol=2e-4)
+
+
+def test_nearest_code_exact():
+    cb = jnp.asarray(np.eye(4, 3, dtype=np.float32))
+    z = jnp.asarray(np.array([[0.9, 0.1, 0.0], [0.0, 0.0, 0.9]], dtype=np.float32))
+    idx = nearest_code(cb, z)
+    assert idx.tolist() == [0, 2]
