@@ -1,0 +1,159 @@
+"""Generative-process tests: diffusion schedules/losses/sampling, flows,
+OT couplings, ODE solvers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codlad_tpu.gen.diffusion import (
+    GaussianDiffusion,
+    create_diffusion,
+    get_named_beta_schedule,
+    mean_flat,
+    normal_kl,
+    space_timesteps,
+)
+from codlad_tpu.gen.flow import FLOW_MATCHERS
+from codlad_tpu.gen.ot import exact_assignment, sample_plan, sinkhorn_plan
+from codlad_tpu.gen.solvers import odeint
+
+
+def test_beta_schedule_and_respacing():
+    betas = get_named_beta_schedule("linear", 1000)
+    assert betas.shape == (1000,)
+    assert betas[0] < betas[-1] < 0.03
+    steps = space_timesteps(1000, "ddim100")
+    assert len(steps) == 100 and 0 in steps
+    d = create_diffusion("ddim100", diffusion_steps=1000)
+    assert d.num_timesteps == 100
+    assert len(d.timestep_map) == 100
+    # map must be the sorted kept base steps
+    assert sorted(steps) == list(d.timestep_map)
+
+
+def test_q_sample_statistics():
+    d = create_diffusion(None, diffusion_steps=1000)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.ones((2048, 4))
+    t = jnp.full((2048,), 500, jnp.int32)
+    noise = jax.random.normal(rng, x0.shape)
+    xt = d.q_sample(x0, t, noise)
+    acp = float(np.cumprod(1 - np.asarray(d.betas))[500])
+    np.testing.assert_allclose(float(xt.mean()), np.sqrt(acp), atol=0.02)
+    np.testing.assert_allclose(float(xt.var()), 1 - acp, rtol=0.1)
+
+
+def test_normal_kl_zero_when_equal():
+    kl = normal_kl(jnp.ones(3), jnp.zeros(3), jnp.ones(3), jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(kl), np.zeros(3), atol=1e-7)
+
+
+def test_mean_flat_mask():
+    x = jnp.arange(12, dtype=jnp.float32).reshape(2, 3, 2)
+    mask = jnp.ones((2, 3, 2)).at[0, 2].set(0)
+    got = mean_flat(x, mask)
+    want0 = x[0, :2].mean()
+    np.testing.assert_allclose(float(got[0]), float(want0), rtol=1e-6)
+
+
+def test_training_losses_and_sampling_with_linear_model():
+    """A model that predicts eps=0 and var=-1 (min log var) runs end to end."""
+    d = create_diffusion("ddim10", diffusion_steps=1000, learn_sigma=True)
+    B, L, C = 4, 6, 3
+
+    def model_fn(x, t, rng, **kw):
+        return jnp.concatenate([jnp.zeros_like(x), -jnp.ones_like(x)], axis=-1)
+
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, (B, L, C))
+    t = jnp.array([0, 3, 5, 9])
+    mask = jnp.ones((B, L, 1))
+    terms = d.training_losses(rng, model_fn, x0, t, mask=mask)
+    assert terms["loss"].shape == (B,)
+    assert np.isfinite(np.asarray(terms["loss"])).all()
+    assert (np.asarray(terms["mse"]) >= 0).all()
+
+    sample = jax.jit(lambda r: d.p_sample_loop(r, model_fn, (B, L, C)))(rng)
+    assert sample.shape == (B, L, C)
+    assert np.isfinite(np.asarray(sample)).all()
+
+
+def test_masked_loss_ignores_padding():
+    d = create_diffusion(None, diffusion_steps=100, learn_sigma=True)
+
+    def model_fn(x, t, rng, **kw):
+        return jnp.concatenate([jnp.zeros_like(x), -jnp.ones_like(x)], axis=-1)
+
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, (2, 8, 3))
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    t = jnp.array([10, 50])
+    mask = jnp.ones((2, 8, 1)).at[1, 4:].set(0)
+    t1 = d.training_losses(rng, model_fn, x0, t, mask=mask, noise=noise)
+    x0_p = x0.at[1, 4:].set(1e3)
+    t2 = d.training_losses(rng, model_fn, x0_p, t, mask=mask, noise=noise)
+    np.testing.assert_allclose(np.asarray(t1["mse"]), np.asarray(t2["mse"]), rtol=1e-5)
+
+
+def test_flow_matchers_basic():
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, (64, 5))
+    x1 = jax.random.normal(jax.random.PRNGKey(1), (64, 5)) + 3.0
+
+    for name, cls in FLOW_MATCHERS.items():
+        fm = cls()
+        t, xt, ut = fm.sample_location_and_conditional_flow(jax.random.PRNGKey(2), x0, x1)
+        assert t.shape == (64,)
+        assert xt.shape == x0.shape and ut.shape == x0.shape
+        assert np.isfinite(np.asarray(xt)).all(), name
+        assert np.isfinite(np.asarray(ut)).all(), name
+        assert (np.asarray(t) > 0).all() and (np.asarray(t) < 1).all()
+
+    # icfm with sigma=0 and fixed t: xt is the straight interpolation
+    fm = FLOW_MATCHERS["icfm"](sigma=0.0)
+    t = jnp.full((64,), 0.25)
+    _, xt, ut = fm.sample_location_and_conditional_flow(jax.random.PRNGKey(3), x0, x1, t=t)
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(0.25 * x1 + 0.75 * x0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ut), np.asarray(x1 - x0), atol=1e-5)
+
+    # vpfm endpoints
+    fm = FLOW_MATCHERS["vpfm"]()
+    _, xt0, _ = fm.sample_location_and_conditional_flow(
+        jax.random.PRNGKey(4), x0, x1, t=jnp.zeros(64))
+    np.testing.assert_allclose(np.asarray(xt0), np.asarray(x0), atol=1e-5)
+
+
+def test_exact_ot_improves_cost():
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(32, 4)).astype(np.float32))
+    perm = rng.permutation(32)
+    x1 = x0[perm] + 0.01  # a permuted copy: optimal pairing is obvious
+    x0n, x1n = sample_plan(jax.random.PRNGKey(0), x0, x1, method="exact")
+    cost_after = float(jnp.sum((x0n - x1n) ** 2))
+    cost_identity = float(jnp.sum((x0 - x1) ** 2))
+    assert cost_after < cost_identity
+    assert cost_after < 32 * 4 * 0.01**2 * 10
+
+
+def test_sinkhorn_marginals():
+    rng = jax.random.PRNGKey(0)
+    cost = jax.random.uniform(rng, (16, 16))
+    plan = sinkhorn_plan(cost, reg=0.1, n_iters=200)
+    np.testing.assert_allclose(np.asarray(plan.sum(1)), np.full(16, 1 / 16), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(plan.sum(0)), np.full(16, 1 / 16), atol=1e-4)
+
+
+def test_exact_assignment_identity():
+    cost = jnp.asarray(np.array([[0.0, 5, 5], [5, 0, 5], [5, 5, 0]], dtype=np.float32))
+    col = exact_assignment(cost)
+    assert np.asarray(col).tolist() == [0, 1, 2]
+
+
+def test_ode_solvers_exponential_decay():
+    f = lambda t, x: -x
+    x0 = jnp.ones((4, 3))
+    for method, tol in [("euler", 5e-3), ("midpoint", 1e-4), ("rk4", 1e-6), ("dopri5", 1e-4)]:
+        x1, nfe = odeint(f, x0, 0.0, 1.0, steps=200, method=method)
+        np.testing.assert_allclose(np.asarray(x1), np.exp(-1.0) * np.ones((4, 3)),
+                                   atol=tol, err_msg=method)
+        assert nfe > 0
