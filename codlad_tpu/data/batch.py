@@ -20,6 +20,7 @@ EDGE_KEYS = {
     "atom_edges": 2,
     "cg_edges": 2,
     "bond_edges": 2,
+    "clash_edges": 2,
     "inter_edges": 2,
     "pipi_pairs": 4,
     "bb_no_edges": 2,
@@ -34,6 +35,7 @@ class PadSpec:
     atom_edges: int
     cg_edges: int
     bond_edges: int
+    clash_edges: int
     inter_edges: int
     pipi_pairs: int
     bb_no_edges: int

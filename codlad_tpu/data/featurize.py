@@ -190,7 +190,16 @@ def featurize_frame(res_type_og, chain_id_og, cg_xyz_og, xyz14, cfg: FeaturizeCo
     bonds = bond_pairs(res_type, chain_id, order=cfg.bond_order)
     inter, pipi, bb_no = interaction_lists(res_type, chain_id, xyz_flat, valid, cfg)
 
+    # non-bonded pairs for the steric-clash loss: radius-graph pairs that are
+    # not order-2 covalent pairs (the reference recomputes this set
+    # difference every training step, utils/train_module.py:330-333; here it
+    # is a one-time host-side set op).
+    bond_set = set(map(tuple, bonds.tolist()))
+    clash = np.array([e for e in atom_edges.tolist() if tuple(e) not in bond_set],
+                     dtype=np.int32).reshape(-1, 2)
+
     return {
+        "clash_edges": clash,
         "res_type": res_type,
         "chain_id": chain_id,
         "cg_xyz_og": cg_xyz_og.astype(np.float32),

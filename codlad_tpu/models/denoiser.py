@@ -52,7 +52,7 @@ class MPNNDenoiser(nn.Module):
 
     @nn.compact
     def __call__(self, x, t, res_type, cg_xyz, mask, y=None, x_self_cond=None,
-                 deterministic=True, rngs=None):
+                 deterministic=True, augment_rng=None, decoding_rng=None):
         """
         x: [B, L, input_size] noisy latents; t: [B] timesteps (int or float);
         res_type: [B, L] residue ids; cg_xyz: [B, L, 3] C-alpha trace (Å);
@@ -68,13 +68,10 @@ class MPNNDenoiser(nn.Module):
         residue_idx = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
         chain_labels = jnp.ones((B, L), dtype=x.dtype)
 
-        feat_rng = None
-        if rngs is not None and "augment" in rngs:
-            feat_rng = rngs["augment"]
         E, E_idx = CAProteinFeatures(
             self.edge_features, top_k=self.k_neighbors,
             augment_eps=self.augment_eps,
-        )(cg_xyz, maskf, residue_idx, chain_labels, rng=feat_rng)
+        )(cg_xyz, maskf, residue_idx, chain_labels, rng=augment_rng)
 
         if self.self_condition:
             if x_self_cond is None:
@@ -102,7 +99,7 @@ class MPNNDenoiser(nn.Module):
             # Autoregressive-style masking from a random decoding order
             # (reference latent_model.py:236-256).  Requires a "decoding"
             # rng; the shipped config disables this path.
-            randn = jax.random.normal(rngs["decoding"], (B, L))
+            randn = jax.random.normal(decoding_rng, (B, L))
             chain_m = maskf
             decoding_order = jnp.argsort((chain_m + 1e-4) * jnp.abs(randn), axis=-1)
             perm = jax.nn.one_hot(decoding_order, L, dtype=x.dtype)

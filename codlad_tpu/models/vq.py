@@ -30,8 +30,9 @@ def vq_init(rng, n_codes, dim, scale=1.0):
     # data distribution within a few hundred steps either way.
     init = jax.random.uniform(rng, (n_codes, dim), minval=-1.0, maxval=1.0)
     init = init * scale / np.sqrt(dim)
+    # distinct buffers: the state may be donated to a jitted step
     return VQState(codebook=init, cluster_size=jnp.zeros(n_codes),
-                   embed_avg=init)
+                   embed_avg=jnp.copy(init))
 
 
 def nearest_code(codebook, z_flat):

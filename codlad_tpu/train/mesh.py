@@ -1,0 +1,54 @@
+"""Device mesh + data-parallel sharding helpers.
+
+The reference's only distribution strategy is DDP data parallelism through
+HF Accelerate / NCCL (reference: train_latent.py:41-54,151-153,251).  The
+TPU-native equivalent: a 1-D `Mesh` over all chips, batches sharded on the
+'data' axis, parameters replicated; `jit` with these shardings makes XLA
+insert the gradient psums over ICI automatically.  Multi-host extension
+hooks (`jax.distributed`) live here too.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, axis="data"):
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def batch_sharding(mesh, axis="data"):
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh, axis="data"):
+    """Place a host batch dict with its leading dim sharded over the mesh."""
+    sh = batch_sharding(mesh, axis)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def replicate(tree, mesh):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def pad_batch_to_devices(batch, n_devices):
+    """Pad the batch dim to a multiple of the mesh size (padded samples get
+    all-False masks so they contribute nothing)."""
+    B = next(iter(batch.values())).shape[0]
+    rem = (-B) % n_devices
+    if rem == 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        pad = [(0, rem)] + [(0, 0)] * (v.ndim - 1)
+        out[k] = np.pad(v, pad)
+    return out

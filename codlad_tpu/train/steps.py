@@ -1,0 +1,210 @@
+"""Jitted train/eval steps for both stages.
+
+Each step is a pure function (state, batch, rng, ...) -> (state, metrics)
+designed to be jitted once per length bucket and sharded over the 'data'
+mesh axis: gradients, VQ statistics, and metric reductions all become
+global XLA collectives automatically under batch sharding.
+
+Faithfulness notes:
+  * gradient clipping 5.0 for Stage 1 / args.grad_clip (1.0) for Stage 2
+    lives inside the optax chain (reference train_module.py:421,
+    train_latent.py:252);
+  * the reference SKIPS the optimizer step when loss >= 50 or NaN
+    (train_module.py:413-415) — here bad batches zero the gradients
+    instead (the optimizer state still sees a zero update, which keeps the
+    step jit-able);
+  * Stage-2 EMA decay 0.9999 (train_module.py:101-111).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from codlad_tpu.models.vae import VAE, GenZProt, reparametrize
+from codlad_tpu.models.vq import vq_quantize
+from codlad_tpu.train.losses import (
+    LossWeights,
+    kl_gaussians,
+    kl_standard_normal,
+    vqvae_loss_terms,
+)
+from codlad_tpu.train.state import TrainState, update_ema
+
+
+def weights_to_array(w: LossWeights):
+    return jnp.array([w.beta, w.delta, w.eta, w.zeta, w.omega, w.theta],
+                     jnp.float32)
+
+
+def _weights_from_array(a):
+    return LossWeights(beta=a[0], delta=a[1], eta=a[2], zeta=a[3],
+                       omega=a[4], theta=a[5])
+
+
+def make_vqvae_step(vae: VAE, *, vq_decay=0.99, commitment_weight=0.25,
+                    skip_loss_threshold=50.0):
+    """Returns train_step(state, batch, rng, weights_arr) and
+    eval_step(state, batch, rng, weights_arr)."""
+
+    mode = vae.mode
+
+    def forward(params, vq_state, batch, rng, weights, train):
+        w = weights
+        h, (mu, sigma) = vae.apply(params, batch, method=VAE.encode)
+        mask = batch["res_mask"]
+        new_vq = vq_state
+        vq_loss = 0.0
+        kl = 0.0
+        if mode == "vqvae":
+            zq, _, vq_loss, new_vq = vq_quantize(
+                vq_state, h, mask, train=train, decay=vq_decay,
+                commitment_weight=commitment_weight)
+        elif mode in ("fgvae", "cgvae"):
+            zq = reparametrize(rng, mu, sigma) if train else mu
+            kl = kl_standard_normal(mu, sigma, mask)
+        else:  # fgae
+            zq = h
+        ic_recon = vae.apply(params, batch, zq, method=VAE.decode)
+        recon, metrics = vqvae_loss_terms(batch, ic_recon, w)
+        loss = recon + vq_loss + w.beta * kl
+        metrics = dict(metrics, vq=vq_loss, kl=kl, loss=loss)
+        return loss, (metrics, new_vq)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng, weights_arr):
+        w = _weights_from_array(weights_arr)
+
+        def loss_fn(params):
+            return forward(params, state.vq_state, batch, rng, w, True)
+
+        (loss, (metrics, new_vq)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        good = jnp.isfinite(loss) & (loss < skip_loss_threshold)
+        grads = jax.tree.map(lambda g: jnp.where(good, g, 0.0), grads)
+        new_state = state.apply_gradients(grads)
+        # only adopt VQ updates from good batches
+        new_vq = jax.tree.map(
+            lambda new, old: jnp.where(good, new, old), new_vq, state.vq_state)
+        new_state = new_state.replace(vq_state=new_vq)
+        metrics["skipped"] = 1.0 - good.astype(jnp.float32)
+        return new_state, metrics
+
+    @jax.jit
+    def eval_step(state: TrainState, batch, rng, weights_arr):
+        w = _weights_from_array(weights_arr)
+        _, (metrics, _) = forward(state.params, state.vq_state, batch, rng, w, False)
+        return metrics
+
+    return train_step, eval_step
+
+
+def make_genzprot_step(model: GenZProt, *, beta=0.05, max_kl_free=0.01,
+                       skip_loss_threshold=50.0):
+    """GenZProt (prior-VAE) steps: recon + hinge KL(posterior || CG prior)
+    (reference train_module.py:222-225)."""
+
+    def forward(params, batch, rng, weights, train):
+        mu, sigma, pmu, psigma, ic_recon = model.apply(
+            params, batch, rng=rng if train else None)
+        recon, metrics = vqvae_loss_terms(batch, ic_recon, weights)
+        kl = kl_gaussians(mu, sigma, pmu, psigma, batch["res_mask"])
+        kl = jnp.maximum(kl - max_kl_free, 0.0)
+        loss = recon + beta * kl
+        return loss, dict(metrics, kl=kl, loss=loss)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng, weights_arr):
+        w = _weights_from_array(weights_arr)
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: forward(p, batch, rng, w, True), has_aux=True)(state.params)
+        good = jnp.isfinite(loss) & (loss < skip_loss_threshold)
+        grads = jax.tree.map(lambda g: jnp.where(good, g, 0.0), grads)
+        new_state = state.apply_gradients(grads)
+        metrics["skipped"] = 1.0 - good.astype(jnp.float32)
+        return new_state, metrics
+
+    @jax.jit
+    def eval_step(state: TrainState, batch, rng, weights_arr):
+        w = _weights_from_array(weights_arr)
+        _, metrics = forward(state.params, batch, rng, w, False)
+        return metrics
+
+    return train_step, eval_step
+
+
+def masked_l2(pred, target, mask):
+    """Reference loss_fn 'l2': masked mean of squared error
+    (train_module.py:27-56)."""
+    m = jnp.broadcast_to(mask[..., None], pred.shape).astype(pred.dtype)
+    return jnp.sum((pred - target) ** 2 * m) / jnp.maximum(m.sum(), 1.0)
+
+
+def make_latent_step(denoiser, process, *, process_kind: str,
+                     ema_decay=0.9999, dropout=True):
+    """Stage-2 steps. process_kind: 'diffusion' | one of the flow names |
+    'backbone'. `process` is the GaussianDiffusion or flow matcher."""
+
+    def model_apply(params, x, t, rng, extras, x_self_cond=None, train=True):
+        use_dropout = dropout and train
+        return denoiser.apply(
+            params, x, t, extras["res_type"], extras["cg_xyz"], extras["mask"],
+            x_self_cond=x_self_cond,
+            deterministic=not use_dropout,
+            rngs={"dropout": rng} if use_dropout else None)
+
+    def loss_fn(params, x1, extras, rng, train=True):
+        mask3 = extras["mask"][..., None]
+        if process_kind == "diffusion":
+            k_t, k_loss = jax.random.split(rng)
+            t = jax.random.randint(k_t, (x1.shape[0],), 0, process.num_timesteps)
+            model_fn = lambda x, tt, k, x_self_cond=None: model_apply(
+                params, x, tt, k, extras, x_self_cond, train=train)
+            terms = process.training_losses(k_loss, model_fn, x1, t, mask=mask3)
+            return terms["loss"].mean(), {"mse": terms["mse"].mean()}
+        if process_kind == "backbone":
+            k_x0, k_drop = jax.random.split(rng)
+            x0 = jax.random.normal(k_x0, x1.shape)
+            t = jnp.ones((x1.shape[0],), x1.dtype)
+            vt = model_apply(params, x0, t, k_drop, extras, train=train)
+            loss = masked_l2(vt, x1, extras["mask"])
+            return loss, {}
+        # flow matching
+        k_x0, k_fm, k_drop = jax.random.split(rng, 3)
+        x0 = jax.random.normal(k_x0, x1.shape)
+        if process_kind == "sbcfm":
+            t, xt, ut, eps = process.sample_location_and_conditional_flow(
+                k_fm, x0, x1, return_noise=True)
+            # sbcfm needs a score head: configure the denoiser with twice
+            # the output width and split (the reference's tensor unpacking
+            # here only worked for its DiT backbone; train_latent.py:222)
+            out = model_apply(params, xt, t, k_drop, extras, train=train)
+            vt, st = jnp.split(out, 2, axis=-1)
+            lambda_t = process.compute_lambda(t)
+            loss = masked_l2(vt, ut, extras["mask"])
+            score_loss = jnp.mean((lambda_t[:, None, None] * st + eps) ** 2)
+            return loss + score_loss, {"score": score_loss}
+        t, xt, ut = process.sample_location_and_conditional_flow(k_fm, x0, x1)
+        vt = model_apply(params, xt, t, k_drop, extras, train=train)
+        return masked_l2(vt, ut, extras["mask"]), {}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, x1, extras, rng):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, x1, extras, rng), has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        new_state = new_state.replace(
+            ema_params=update_ema(new_state.ema_params, new_state.params,
+                                  ema_decay))
+        gnorm = jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree.leaves(grads)))
+        return new_state, dict(aux, loss=loss, grad_norm=gnorm)
+
+    @jax.jit
+    def eval_step(state: TrainState, x1, extras, rng):
+        loss, aux = loss_fn(state.params, x1, extras, rng, train=False)
+        return dict(aux, loss=loss)
+
+    return train_step, eval_step
