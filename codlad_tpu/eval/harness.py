@@ -1,0 +1,179 @@
+"""Inference + evaluation pipeline: latent sampling -> VQ snap -> IC decode
+-> Cartesian rebuild -> metrics.
+
+Replaces the reference's test.py driver loops (reference: test.py:253-889):
+the whole sample->decode path is ONE jitted function per length bucket (the
+reference runs 100 sequential model launches, then separate decode and
+metric passes).
+
+Experiments, mirroring `--experiment {recon,latent,genzprot}`:
+  * recon: encoder latents (no sampling) -> VQ -> decode;
+  * latent: diffusion/flow sampling conditioned on the CG trace;
+  * genzprot: decode latents drawn from the CG prior.
+
+The reference pushes a doubled batch through the sampler even at cfg 0.0
+(test.py:504-535); `doubled_batch=True` reproduces that for parity runs,
+False skips the redundant half (2x cheaper, identical first-half samples).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codlad_tpu.eval import metrics as M
+from codlad_tpu.gen.solvers import odeint
+from codlad_tpu.geometry.internal import ic_to_xyz14
+from codlad_tpu.models.vae import VAE
+from codlad_tpu.models.vq import vq_quantize
+
+
+@dataclasses.dataclass(eq=False)  # identity hash: jit caches per instance
+class SamplingPipeline:
+    denoiser: Any            # flax module
+    denoiser_params: Any
+    process: Any             # GaussianDiffusion or flow matcher kind
+    process_kind: str        # 'diffusion' | flow names
+    vae: VAE
+    vae_params: Any
+    vq_state: Any            # VQState or None
+    norm_mean: np.ndarray    # [latent_dim]
+    norm_std: np.ndarray
+    latent_size: int = 3
+    doubled_batch: bool = False
+    ode_steps: int = 100
+    ode_method: str = "euler"
+
+    def _model_fn(self, extras):
+        def fn(x, t, rng, x_self_cond=None):
+            return self.denoiser.apply(
+                self.denoiser_params, x, t, extras["res_type"],
+                extras["cg_xyz"], extras["mask"], deterministic=True)
+        return fn
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def sample_latents(self, rng, extras):
+        """Draw normalized latents [B, L, latent_size] given CG conditioning."""
+        B, L = extras["res_type"].shape
+        shape = (B, L, self.latent_size)
+        if self.doubled_batch:
+            extras = {k: jnp.concatenate([v, v], 0) for k, v in extras.items()}
+            rng, sub = jax.random.split(rng)
+            z = jax.random.normal(sub, shape)
+            z = jnp.concatenate([z, z], 0)
+            shape = (2 * B, L, self.latent_size)
+        else:
+            rng, sub = jax.random.split(rng)
+            z = jax.random.normal(sub, shape)
+
+        model_fn = self._model_fn(extras)
+        if self.process_kind == "diffusion":
+            out = self.process.p_sample_loop(rng, model_fn, shape, noise=z,
+                                             clip_denoised=False)
+        else:
+            f = lambda t, x: model_fn(x, jnp.full((shape[0],), t), None)
+            out, _ = odeint(f, z, 0.0, 1.0, steps=self.ode_steps,
+                            method=self.ode_method)
+        if self.doubled_batch:
+            out = out[:B]
+        return out
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def decode(self, batch, latents_norm):
+        """De-normalize, snap to the codebook, decode to ic + coordinates
+        (reference test.py:548-582 + vae_model.py:830-838)."""
+        latents = latents_norm * jnp.asarray(self.norm_std) + jnp.asarray(self.norm_mean)
+        if self.vq_state is not None:
+            latents, _, _, _ = vq_quantize(self.vq_state, latents,
+                                           batch["res_mask"], train=False)
+        ic_recon = self.vae.apply(self.vae_params, batch, latents,
+                                  method=VAE.decode)
+        xyz14 = ic_to_xyz14(batch["cg_xyz_og"], ic_recon, batch["res_type"])
+        return ic_recon, xyz14
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def encode_latents(self, batch):
+        """--experiment recon path: pre-VQ encoder latents."""
+        h, _ = self.vae.apply(self.vae_params, batch, method=VAE.encode)
+        return h
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def sample_and_decode(self, rng, batch):
+        """The fused benchmark path: conditioning -> latents -> structure."""
+        extras = {
+            "res_type": batch["res_type"],
+            "cg_xyz": batch["cg_xyz_og"][:, 1:-1],
+            "mask": batch["res_mask"],
+        }
+        lat = self.sample_latents(rng, extras)
+        return self.decode(batch, lat)
+
+
+def evaluate_structures(batch, ic_recon, xyz14_gen):
+    """Full per-batch metric set (reference test.py:589-676)."""
+    keep = (~batch["endpoint_mask"])[..., None] & batch["atom_mask"]
+    xyz_gen = jnp.where(keep[..., None], xyz14_gen, 0.0)
+    xyz_ref = jnp.where(keep[..., None], batch["xyz14"], 0.0)
+    B = xyz_gen.shape[0]
+    flat_gen, flat_ref = xyz_gen.reshape(B, -1, 3), xyz_ref.reshape(B, -1, 3)
+    flat_mask = keep.reshape(B, -1)
+
+    bond, angle, torsion = _recon_terms(batch, ic_recon)
+    out = {
+        "rmsd": M.unaligned_rmsd(flat_gen, flat_ref, flat_mask).mean(),
+        "rmsd_aligned": M.kabsch_rmsd(flat_ref, flat_gen, flat_mask).mean(),
+        "ged": M.ged_score(xyz_gen, xyz_ref, batch["bond_edges"], batch["bond_edges_mask"]),
+        "clash": M.clash_ratio(xyz_gen, batch["clash_edges"], batch["clash_edges_mask"],
+                               batch["bb_no_edges"], batch["bb_no_edges_mask"]),
+        "inter": M.interaction_scores(xyz_gen, batch["inter_edges"],
+                                      batch["inter_edges_mask"],
+                                      batch["pipi_pairs"], batch["pipi_pairs_mask"])[0],
+        "xyz": _xyz_loss(batch, xyz_gen, xyz_ref),
+        "bond": bond, "angle": angle, "torsion": torsion,
+    }
+    valid, ratio = M.graph_validity(xyz_gen, xyz_ref, batch["res_type"], keep)
+    out["graph_valid_ratio"] = valid.mean()
+    out["graph_diff_ratio"] = ratio.mean()
+    return out
+
+
+def _xyz_loss(batch, xyz_gen, xyz_ref):
+    m = batch["atom_mask"].astype(xyz_gen.dtype)
+    sq = ((xyz_gen - xyz_ref) ** 2).sum(-1)
+    return (sq * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def _recon_terms(batch, ic_recon):
+    ic = batch["ic"]
+    m = batch["ic_mask"].astype(ic.dtype)
+    n = jnp.maximum(m.sum(), 1.0)
+    eps = 1e-7
+    bond = ((((ic_recon[..., 0] - ic[..., 0]) * m) ** 2).sum()) / n
+    angle = (jnp.sqrt(2 * (1 - jnp.cos(ic[..., 1] - ic_recon[..., 1])) + eps) * m).sum() / n
+    torsion = (jnp.sqrt(2 * (1 - jnp.cos(ic[..., 2] - ic_recon[..., 2])) + eps) * m).sum() / n
+    return bond, angle, torsion
+
+
+def run_ensemble(pipeline: SamplingPipeline, batch, num_ensemble, seed=0):
+    """Generate an ensemble, collect per-sample metrics + DIV (reference
+    test.py:455-710 loops)."""
+    gens = []
+    per_sample = []
+    for s in range(num_ensemble):
+        rng = jax.random.PRNGKey(seed + s)
+        ic_recon, xyz14 = pipeline.sample_and_decode(rng, batch)
+        per_sample.append(evaluate_structures(batch, ic_recon, xyz14))
+        keep = (~batch["endpoint_mask"])[..., None] & batch["atom_mask"]
+        gens.append(jnp.where(keep[..., None], xyz14, 0.0).reshape(xyz14.shape[0], -1, 3))
+    keep = (~batch["endpoint_mask"])[..., None] & batch["atom_mask"]
+    flat_mask = keep.reshape(keep.shape[0], -1)
+    ref = jnp.where(keep[..., None], batch["xyz14"], 0.0).reshape(flat_mask.shape + (3,))
+    div, rmsd_ref, rmsd_gen = M.diversity(jnp.stack(gens), ref, flat_mask)
+    agg = {k: float(np.mean([float(m[k]) for m in per_sample])) for k in per_sample[0]}
+    agg.update(div=float(div), rmsd_ref_ens=float(rmsd_ref), rmsd_gen_ens=float(rmsd_gen))
+    return agg
