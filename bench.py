@@ -1,0 +1,102 @@
+"""Headline benchmark: Stage-2 denoise throughput on the PED eval workload.
+
+Metric: denoiser evaluations (denoise steps) per second per chip at the
+reference evaluation shape — 100-step DDIM-spaced ensemble sampling over a
+PED-sized batch (96 frames x 128 residues, k=64 neighbors, hidden 128,
+latent 3; reference recipe README.md:144-155, batch test.py bs<=96).
+
+The sampled latents go through the full fused pipeline (scan over 100
+denoiser evals compiled as ONE XLA program); we report the denoise-step
+rate, which dominates end-to-end sampling cost.
+
+`vs_baseline` compares against an ESTIMATED reference throughput on A100 of
+10 denoise steps/sec for the same workload (no numbers are published by the
+reference; estimate from a FLOP model: ~2.3e12 FLOP per doubled-batch
+denoise step at ~35-40% TF32 utilization incl. per-step launch overhead of
+the torch Python loop). The driver's north-star target is 5x => vs_baseline
+>= 5.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_STEPS_PER_SEC = 10.0  # estimated reference A100 (see module docstring)
+
+B = 96          # frames per batch (reference eval bs<=96)
+L = 128         # residues (PED-scale)
+DENOISE_STEPS = 100
+REPEATS = 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from codlad_tpu.gen.diffusion import create_diffusion
+    from codlad_tpu.models.denoiser import mpnn_diffusion
+
+    rng = np.random.default_rng(0)
+    res_type = jnp.asarray(rng.integers(0, 20, size=(B, L)).astype(np.int32))
+    steps = rng.normal(size=(B, L, 3))
+    steps /= np.linalg.norm(steps, axis=-1, keepdims=True)
+    cg = jnp.asarray(np.cumsum(3.8 * steps, axis=1).astype(np.float32))
+    mask = jnp.ones((B, L), dtype=bool)
+
+    model = mpnn_diffusion(input_size=3, learn_sigma=True, dropout=0.0)
+    x0 = jnp.zeros((B, L, 3))
+    params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((B,), jnp.int32),
+                        res_type, cg, mask)
+    diffusion = create_diffusion(f"ddim{DENOISE_STEPS}", diffusion_steps=1000,
+                                 learn_sigma=True)
+
+    # hoist x-independent conditioning out of the scan; run the denoise body
+    # in bf16 (schedule math stays f32)
+    from codlad_tpu.models.denoiser import MPNNDenoiser
+
+    cond = model.apply(params, res_type, cg, mask,
+                       method=MPNNDenoiser.compute_condition)
+    cast = lambda v: (v.astype(jnp.bfloat16)
+                      if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+                      else v)
+    cond_bf16 = jax.tree.map(cast, cond)
+    params_bf16 = jax.tree.map(cast, params)
+
+    def model_fn(x, t, rng, x_self_cond=None):
+        out = model.apply(params_bf16, x.astype(jnp.bfloat16), t, cond_bf16,
+                          deterministic=True, method=MPNNDenoiser.denoise)
+        return out.astype(jnp.float32)
+
+    @jax.jit
+    def sample(rng):
+        return diffusion.p_sample_loop(rng, model_fn, (B, L, 3))
+
+    # compile + warmup
+    out = sample(jax.random.PRNGKey(0))
+    out.block_until_ready()
+
+    times = []
+    for i in range(REPEATS):
+        t0 = time.perf_counter()
+        out = sample(jax.random.PRNGKey(i + 1))
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    steps_per_sec = DENOISE_STEPS / best
+    n_chips = jax.device_count()
+    value = steps_per_sec / n_chips
+
+    print(json.dumps({
+        "metric": "denoise_steps_per_sec_per_chip_PED_eval(B96,L128,ddim100)",
+        "value": round(value, 3),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(value / BASELINE_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Stage bridge CLI: run the frozen Stage-1 encoder over shards and save
+per-protein latent features + normalization stats.
+
+Equivalent of `extract_features.py --extract_features` (reference:
+extract_features.py:181-291): pre-VQ latents (`get_latent_wovq`) are what
+Stage 2 trains on; channel mean/std over the train split are saved for
+normalization; a codebook-usage histogram is recorded as a sanity signal.
+
+Usage:
+  python -m codlad_tpu.cli.extract_features --ckpt results/run1 \
+      --data_dir shards/train --out_dir features/train --stats_name PED_N6
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--stats_name", type=str, default=None,
+                   help="if set, save channel mean/std as this name")
+    p.add_argument("--stats_dir", type=str, default="datasets/miu_and_sigma")
+    p.add_argument("--batch_size", type=int, default=8)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from codlad_tpu.data.norm import compute_stats, save_stats
+    from codlad_tpu.data.shards import ShardDataset, load_protein_shard
+    from codlad_tpu.models.vae import VAE
+    from codlad_tpu.models.vq import nearest_code, vq_init
+    from codlad_tpu.train.checkpoints import CheckpointManager
+    from codlad_tpu.train.state import create_train_state
+
+    ckpt = CheckpointManager(args.ckpt)
+    cfg = ckpt.load_config()
+    vae = VAE(mode=cfg.get("train_section", "vqvae"),
+              embed_dim=cfg.get("embed_dim", 36), vqdim=cfg.get("vqdim", 3),
+              predict_angle=cfg.get("predict_angle", False),
+              n_rbf=cfg.get("n_rbf", 15), dec_cutoff=cfg.get("cg_cutoff", 21.0),
+              dec_nconv=cfg.get("dec_nconv", 4), enc_nconv=cfg.get("enc_nconv", 3),
+              atom_cutoff=cfg.get("atom_cutoff", 9.0),
+              cg_cutoff=cfg.get("cg_cutoff", 21.0))
+
+    data = ShardDataset(args.data_dir, args.batch_size, shuffle=False)
+    first = {k: jnp.asarray(v) for k, v in next(iter(data)).items()}
+    rng = jax.random.PRNGKey(0)
+    params = vae.init(rng, first)
+    vq_state = (vq_init(rng, cfg.get("codebook_size", 4096), cfg.get("vqdim", 3))
+                if cfg.get("train_section", "vqvae") == "vqvae" else None)
+    state = create_train_state(params, optax.identity(), vq_state=vq_state)
+    name = "best" if ckpt.exists("best") else "last"
+    state = ckpt.restore(state, name)
+    print(f"loaded {name} checkpoint (step {int(state.step)})")
+
+    @jax.jit
+    def encode(b):
+        h, _ = vae.apply(state.params, b, method=VAE.encode)
+        return h
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    all_latents, all_masks = [], []
+    usage = np.zeros(cfg.get("codebook_size", 4096), np.int64)
+
+    for fname in data.files:
+        spec, shard = load_protein_shard(os.path.join(args.data_dir, fname))
+        b = {k: jnp.asarray(v) for k, v in shard.items()}
+        h = np.asarray(encode(b))                       # [F, L, vqdim]
+        mask = shard["res_mask"]
+        np.savez_compressed(
+            os.path.join(args.out_dir, fname),
+            latents=h.astype(np.float32), res_mask=mask,
+            res_type=shard["res_type"], cg_xyz_og=shard["cg_xyz_og"],
+            ic=shard["ic"], prot_idx=shard["prot_idx"])
+        all_latents.append(h)
+        all_masks.append(mask)
+        if state.vq_state is not None:
+            idx = np.asarray(nearest_code(state.vq_state.codebook,
+                                          jnp.asarray(h.reshape(-1, h.shape[-1]))))
+            idx = idx[mask.reshape(-1)]
+            usage += np.bincount(idx, minlength=len(usage))
+        print(f"{fname}: {h.shape}", flush=True)
+
+    if args.stats_name:
+        mean, std = compute_stats(all_latents, all_masks)
+        save_stats(args.stats_dir, args.stats_name, mean, std)
+        print(f"stats {args.stats_name}: mean={mean} std={std}")
+
+    active = int((usage > 0).sum())
+    np.save(os.path.join(args.out_dir, "codebook_usage.npy"), usage)
+    with open(os.path.join(args.out_dir, "manifest.json"), "w") as f:
+        json.dump({"files": data.files, "codebook_active": active}, f, indent=2)
+    if state.vq_state is not None:
+        print(f"codebook usage: {active}/{len(usage)} codes active")
+
+
+if __name__ == "__main__":
+    main()

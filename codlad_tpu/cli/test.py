@@ -1,0 +1,188 @@
+"""Inference + evaluation CLI: recon / latent / genzprot experiments.
+
+Port of the reference harness (reference: test.py:253-966): loads the
+Stage-1 (and for 'latent' the Stage-2) checkpoints, loops proteins x
+ensemble x frames, computes the full metric set (RMSD, GED, clash ratio,
+interaction scores, graph validity, DIV), dumps per-protein and global
+summary JSON + optional multi-MODEL PDB exports.
+
+Usage:
+  python -m codlad_tpu.cli.test --experiment latent --vae_ckpt results/vq \
+      --latent_ckpt results/latent --data_dir shards/test \
+      --num_sampling_steps 100 --num_ensemble 10 --stats_name PED_N6
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--experiment", type=str, default="latent",
+                   choices=["recon", "latent", "genzprot"])
+    p.add_argument("--model", type=str, default="diffusion",
+                   choices=["diffusion", "fm", "icfm", "vpfm", "otcfm", "sbcfm"])
+    p.add_argument("--vae_ckpt", type=str, required=True)
+    p.add_argument("--latent_ckpt", type=str, default=None)
+    p.add_argument("--genzprot_ckpt", type=str, default=None)
+    p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--out_dir", type=str, default="results/eval")
+    p.add_argument("--num_sampling_steps", type=int, default=100)
+    p.add_argument("--num_ensemble", type=int, default=10)
+    p.add_argument("--cfg_scale", type=float, default=0.0)
+    p.add_argument("--batch_size", type=int, default=96)
+    p.add_argument("--method", type=str, default="euler",
+                   help="ODE solver for flow models")
+    p.add_argument("--stats_name", type=str, default=None)
+    p.add_argument("--stats_dir", type=str, default="datasets/miu_and_sigma")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--save_pdb", action="store_true", default=False)
+    p.add_argument("--doubled_batch", action="store_true", default=False,
+                   help="reproduce the reference's doubled-batch sampling")
+    p.add_argument("--bf16", action="store_true", default=True)
+    return p
+
+
+def _load_vae(args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from codlad_tpu.data.shards import ShardDataset
+    from codlad_tpu.models.vae import VAE
+    from codlad_tpu.models.vq import vq_init
+    from codlad_tpu.train.checkpoints import CheckpointManager
+    from codlad_tpu.train.state import create_train_state
+
+    ckpt = CheckpointManager(args.vae_ckpt)
+    cfg = ckpt.load_config()
+    vae = VAE(mode=cfg.get("train_section", "vqvae"),
+              embed_dim=cfg.get("embed_dim", 36), vqdim=cfg.get("vqdim", 3),
+              predict_angle=cfg.get("predict_angle", False),
+              n_rbf=cfg.get("n_rbf", 15), dec_cutoff=cfg.get("cg_cutoff", 21.0),
+              dec_nconv=cfg.get("dec_nconv", 4), enc_nconv=cfg.get("enc_nconv", 3),
+              atom_cutoff=cfg.get("atom_cutoff", 9.0),
+              cg_cutoff=cfg.get("cg_cutoff", 21.0))
+    data = ShardDataset(args.data_dir, 1, shuffle=False)
+    first = {k: jnp.asarray(v) for k, v in next(iter(data)).items()}
+    rng = jax.random.PRNGKey(0)
+    params = vae.init(rng, first)
+    vq_state = (vq_init(rng, cfg.get("codebook_size", 4096), cfg.get("vqdim", 3))
+                if cfg.get("train_section", "vqvae") == "vqvae" else None)
+    state = create_train_state(params, optax.identity(), vq_state=vq_state)
+    name = "best" if ckpt.exists("best") else "last"
+    state = ckpt.restore(state, name)
+    return vae, state, cfg
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from codlad_tpu.data.norm import load_stats
+    from codlad_tpu.data.pdb import write_pdb
+    from codlad_tpu.data.shards import ShardDataset, load_protein_shard
+    from codlad_tpu.eval.harness import SamplingPipeline, run_ensemble
+    from codlad_tpu.gen.diffusion import create_diffusion
+    from codlad_tpu.gen.flow import FLOW_MATCHERS
+    from codlad_tpu.models.denoiser import MPNN_MODELS
+    from codlad_tpu.train.checkpoints import CheckpointManager
+    from codlad_tpu.train.state import create_train_state
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    vae, vae_state, vae_cfg = _load_vae(args)
+    latent_size = vae_cfg.get("vqdim", 3)
+
+    if args.stats_name:
+        mean, std = load_stats(args.stats_dir, args.stats_name)
+    else:
+        mean = np.zeros(latent_size, np.float32)
+        std = np.ones(latent_size, np.float32)
+
+    denoiser = den_params = process = None
+    if args.experiment == "latent":
+        assert args.latent_ckpt, "--latent_ckpt required for latent experiment"
+        lat_ckpt = CheckpointManager(args.latent_ckpt)
+        lat_cfg = lat_ckpt.load_config()
+        learn_sigma = lat_cfg.get("model", "diffusion") in ("diffusion", "sbcfm")
+        denoiser = MPNN_MODELS[lat_cfg.get("backbone", "mpnn_diffusion")](
+            input_size=latent_size, learn_sigma=learn_sigma, dropout=0.0)
+        data0 = ShardDataset(args.data_dir, 1, shuffle=False)
+        first = {k: jnp.asarray(v) for k, v in next(iter(data0)).items()}
+        B0, L0 = first["res_type"].shape
+        params = denoiser.init(
+            jax.random.PRNGKey(0), jnp.zeros((B0, L0, latent_size)),
+            jnp.zeros((B0,), jnp.int32), first["res_type"],
+            first["cg_xyz_og"][:, 1:-1], first["res_mask"])
+        lstate = create_train_state(params, optax.identity(), with_ema=True)
+        name = "best" if lat_ckpt.exists("best") else "last"
+        lstate = lat_ckpt.restore(lstate, name)
+        den_params = lstate.ema_params if args.use_ema else lstate.params
+        if args.model == "diffusion":
+            process = create_diffusion(
+                str(args.num_sampling_steps),
+                diffusion_steps=lat_cfg.get("diffusion_steps", 1000),
+                learn_sigma=True)
+        else:
+            process = FLOW_MATCHERS[args.model]()
+
+    pipeline = SamplingPipeline(
+        denoiser=denoiser, denoiser_params=den_params, process=process,
+        process_kind=args.model, vae=vae, vae_params=vae_state.params,
+        vq_state=vae_state.vq_state, norm_mean=mean, norm_std=std,
+        latent_size=latent_size, doubled_batch=args.doubled_batch,
+        ode_steps=args.num_sampling_steps, ode_method=args.method,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None)
+
+    data = ShardDataset(args.data_dir, args.batch_size, shuffle=False)
+    summary = {}
+    t_start = time.time()
+    for fname in data.files:
+        spec, shard = load_protein_shard(os.path.join(args.data_dir, fname))
+        n = min(shard["res_type"].shape[0], args.batch_size)
+        batch = {k: jnp.asarray(v[:n]) for k, v in shard.items()}
+        t0 = time.time()
+        if args.experiment == "latent":
+            agg = run_ensemble(pipeline, batch, args.num_ensemble, seed=args.seed)
+        else:
+            from codlad_tpu.eval.harness import evaluate_structures
+            h = pipeline.encode_latents(batch)
+            h_norm = (np.asarray(h) - mean) / std
+            ic_recon, xyz14 = pipeline.decode(batch, jnp.asarray(h_norm))
+            agg = {k: float(v) for k, v in
+                   evaluate_structures(batch, ic_recon, xyz14).items()}
+            if args.save_pdb:
+                og_res = np.concatenate([
+                    batch["res_type"][:, :1], batch["res_type"],
+                    batch["res_type"][:, -1:]], axis=1)[0]
+                og_chain = np.zeros_like(og_res)
+                write_pdb(os.path.join(args.out_dir, fname.replace(".npz", "_recon.pdb")),
+                          np.asarray(og_res), og_chain, np.asarray(xyz14))
+        agg["wallclock_sec"] = time.time() - t0
+        summary[fname] = agg
+        print(f"{fname}: " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()),
+              flush=True)
+
+    keys = next(iter(summary.values())).keys()
+    summary["__global__"] = {
+        k: float(np.mean([v[k] for v in summary.values() if k in v]))
+        for k in keys}
+    summary["__global__"]["total_sec"] = time.time() - t_start
+    with open(os.path.join(args.out_dir, "summary_stats.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print("global:", json.dumps(summary["__global__"], indent=2))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

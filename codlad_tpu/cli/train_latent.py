@@ -1,0 +1,223 @@
+"""Stage-2 trainer CLI: latent diffusion / flow matching over extracted
+features, data-parallel over all available chips.
+
+Port of the reference DDP trainer (reference: train_latent.py:36-413):
+AdamW with warmup->linear-decay LR, grad clip, EMA(0.9999), periodic +
+best + last checkpoints, steps/sec logging — with Accelerate/NCCL replaced
+by a jax Mesh: the global batch is sharded on the 'data' axis and XLA
+reduces gradients over ICI.
+
+Usage:
+  python -m codlad_tpu.cli.train_latent --feature_dir features/train \
+      --val_dir features/valid --exp results/latent --model diffusion \
+      --latent_size 3 --stats_name PED_N6 --lr 3e-4 --warmup 80000 \
+      --schedule_steps 1200000 --final_lr 1e-5 --batch_size 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--exp", type=str, default="results/latent")
+    p.add_argument("--feature_dir", type=str, required=True)
+    p.add_argument("--val_dir", type=str, default=None)
+    p.add_argument("--stats_name", type=str, default=None)
+    p.add_argument("--stats_dir", type=str, default="datasets/miu_and_sigma")
+    p.add_argument("--model", type=str, default="diffusion",
+                   choices=["diffusion", "fm", "icfm", "vpfm", "otcfm",
+                            "sbcfm", "backbone"])
+    p.add_argument("--backbone", type=str, default="mpnn_diffusion")
+    p.add_argument("--latent_size", type=int, default=3)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--warmup", type=int, default=80000)
+    p.add_argument("--schedule_steps", type=int, default=None)
+    p.add_argument("--final_lr", type=float, default=None)
+    p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--ema_decay", type=float, default=0.9999)
+    p.add_argument("--diffusion_steps", type=int, default=1000)
+    p.add_argument("--noise_schedule", type=str, default="linear")
+    p.add_argument("--predict_xstart", action="store_true", default=False)
+    p.add_argument("--self_condition", action="store_true", default=False)
+    p.add_argument("--save_step", type=int, default=5000)
+    p.add_argument("--log_step", type=int, default=100)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--dropout", type=float, default=0.6)
+    return p
+
+
+class FeatureDataset:
+    """Batches of normalized latents + conditioning from extract_features
+    output (reference CustomDataset + latent_collate_fn,
+    utils/dataset_module.py:382-490)."""
+
+    def __init__(self, directory, batch_size, seed=0, shuffle=True):
+        self.directory = directory
+        self.files = sorted(f for f in os.listdir(directory)
+                            if f.endswith(".npz") and f != "manifest.npz")
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        files = list(self.files)
+        if self.shuffle:
+            self._rng.shuffle(files)
+        for fname in files:
+            z = np.load(os.path.join(self.directory, fname))
+            n = z["latents"].shape[0]
+            idx = np.arange(n)
+            if self.shuffle:
+                self._rng.shuffle(idx)
+            bs = min(self.batch_size, n)
+            for s in range(0, n - bs + 1, bs):
+                sel = idx[s:s + bs]
+                yield {
+                    "x1": z["latents"][sel],
+                    "res_type": z["res_type"][sel],
+                    "cg_xyz": z["cg_xyz_og"][sel][:, 1:-1],
+                    "mask": z["res_mask"][sel],
+                }
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from codlad_tpu.data.norm import load_stats, normalize
+    from codlad_tpu.gen.diffusion import create_diffusion
+    from codlad_tpu.gen.flow import FLOW_MATCHERS
+    from codlad_tpu.models.denoiser import MPNN_MODELS
+    from codlad_tpu.train import mesh as mesh_mod
+    from codlad_tpu.train.checkpoints import CheckpointManager
+    from codlad_tpu.train.logging_utils import create_logger
+    from codlad_tpu.train.state import create_train_state, warmup_linear_schedule
+    from codlad_tpu.train.steps import make_latent_step
+
+    logger = create_logger(args.exp)
+    ckpt = CheckpointManager(args.exp)
+    ckpt.save_config(vars(args))
+    logger.info(f"args: {vars(args)}")
+
+    n_dev = jax.device_count()
+    mesh = mesh_mod.make_mesh(n_dev)
+    logger.info(f"data-parallel over {n_dev} device(s)")
+
+    if args.stats_name:
+        mean, std = load_stats(args.stats_dir, args.stats_name)
+    else:
+        mean, std = np.zeros(args.latent_size, np.float32), np.ones(args.latent_size, np.float32)
+
+    data = FeatureDataset(args.feature_dir, args.batch_size, seed=args.seed)
+    val = FeatureDataset(args.val_dir or args.feature_dir, 4, shuffle=False)
+
+    # model: sbcfm needs velocity + score head (2x); diffusion needs
+    # mean + learned-range variance (2x)
+    learn_sigma = args.model in ("diffusion", "sbcfm")
+    model = MPNN_MODELS[args.backbone](
+        input_size=args.latent_size, learn_sigma=learn_sigma,
+        self_condition=args.self_condition, dropout=args.dropout)
+
+    first = next(iter(val))
+    rng = jax.random.PRNGKey(args.seed)
+    params = model.init(
+        rng, jnp.asarray(first["x1"]), jnp.zeros((first["x1"].shape[0],), jnp.int32),
+        jnp.asarray(first["res_type"]), jnp.asarray(first["cg_xyz"]),
+        jnp.asarray(first["mask"]))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    logger.info(f"model parameters: {n_params:,}")
+
+    sched = warmup_linear_schedule(args.lr, args.warmup, args.schedule_steps,
+                                   args.final_lr)
+    tx = optax.chain(optax.clip_by_global_norm(args.grad_clip),
+                     optax.adamw(sched, weight_decay=0.0))
+    state = create_train_state(params, tx, with_ema=True)
+
+    if args.model == "diffusion":
+        process = create_diffusion(None, noise_schedule=args.noise_schedule,
+                                   predict_xstart=args.predict_xstart,
+                                   learn_sigma=True,
+                                   diffusion_steps=args.diffusion_steps,
+                                   self_condition=args.self_condition)
+    elif args.model == "backbone":
+        process = None
+    else:
+        process = FLOW_MATCHERS[args.model]()
+    train_step, eval_step = make_latent_step(
+        model, process, process_kind=args.model, ema_decay=args.ema_decay,
+        dropout=args.dropout > 0)
+
+    if args.resume and ckpt.exists("last"):
+        state = ckpt.restore(state, "last")
+        logger.info(f"resumed at step {int(state.step)}")
+    state = mesh_mod.replicate(state, mesh)
+
+    train_steps = int(state.step)
+    log_t0, log_steps = time.time(), 0
+    best_val = np.inf
+    stop = False
+
+    for epoch in range(args.epochs):
+        if stop:
+            break
+        for hb in data:
+            x1 = normalize(hb.pop("x1"), mean, std, norm_in=True).astype(np.float32)
+            hb["x1"] = x1
+            hb = mesh_mod.pad_batch_to_devices(hb, n_dev)
+            sb = mesh_mod.shard_batch(hb, mesh)
+            x1 = sb.pop("x1")
+            key = jax.random.fold_in(jax.random.PRNGKey(args.seed), train_steps)
+            state, metrics = train_step(state, x1, sb, key)
+            train_steps += 1
+            log_steps += 1
+
+            if train_steps % args.log_step == 0:
+                dt = time.time() - log_t0
+                logger.info(
+                    f"epoch {epoch} step {train_steps}: "
+                    f"loss {float(metrics['loss']):.5f} "
+                    f"grad_norm {float(metrics['grad_norm']):.4f} "
+                    f"steps/sec {log_steps / dt:.3f}")
+                log_t0, log_steps = time.time(), 0
+            if train_steps % args.save_step == 0:
+                ckpt.save(state, f"step_{train_steps}")
+                ckpt.save(state, "last")
+            if args.max_steps and train_steps >= args.max_steps:
+                stop = True
+                break
+
+        # validation (reference train_latent.py:299-375)
+        vlosses = []
+        for i, hb in enumerate(val):
+            x1 = normalize(hb.pop("x1"), mean, std, norm_in=True).astype(np.float32)
+            extras = {k: jnp.asarray(v) for k, v in hb.items()}
+            m = eval_step(state, jnp.asarray(x1), extras,
+                          jax.random.fold_in(rng, i))
+            vlosses.append(float(m["loss"]))
+        vloss = float(np.mean(vlosses)) if vlosses else np.nan
+        logger.info(f"epoch {epoch}: val loss {vloss:.5f}")
+        if np.isfinite(vloss) and vloss < best_val:
+            best_val = vloss
+            ckpt.save(state, "best")
+        ckpt.save(state, "last")
+
+    ckpt.save(state, "last")
+    logger.info("training done")
+    return state
+
+
+if __name__ == "__main__":
+    main()

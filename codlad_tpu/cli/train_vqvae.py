@@ -1,0 +1,211 @@
+"""Stage-1 trainer CLI: VQ-VAE / FG-VAE / GenZProt over featurized shards.
+
+Port of the reference trainer (reference: train_vqvae.py:33-384): same
+JSON-over-argparse config, loss-weight schedule, Adam(+exp decay) or
+AdamW(+plateau LR), LOWESS-smoothed best-model selection, EarlyStopping(20),
+NaN abort, CSV metric log, per-epoch/best/last checkpoints.
+
+Usage:
+  python -m codlad_tpu.cli.train_vqvae -load_json scripts/vqvae_ped.json \
+      -data_dir shards/train -val_dir shards/val -logdir results/run1
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from codlad_tpu.cli.config import parse_with_json
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("-load_json", type=str, default=None)
+    p.add_argument("-logdir", type=str, required=False, default="results/vqvae")
+    p.add_argument("-data_dir", type=str, default=None)
+    p.add_argument("-val_dir", type=str, default=None)
+    p.add_argument("-dataset", type=str, default="PED")
+    p.add_argument("-train_section", type=str, default="vqvae",
+                   choices=["vqvae", "fgvae", "fgae", "ivae"])
+    p.add_argument("-seed", type=int, default=12345)
+    p.add_argument("-batch_size", type=int, default=4)
+    p.add_argument("-nepochs", type=int, default=600)
+    p.add_argument("-resume", action="store_true", default=False)
+    p.add_argument("-lr", type=float, default=1e-3)
+    p.add_argument("-factor", type=float, default=0.3)
+    p.add_argument("-dynamic_loss", action="store_true", default=True)
+    p.add_argument("-scheduler_flag", action="store_true", default=False)
+    # loss weights (reference train_vqvae.py:349-356)
+    p.add_argument("-beta", type=float, default=0.05)
+    p.add_argument("-gamma", type=float, default=1.0)
+    p.add_argument("-delta", type=float, default=1.0)
+    p.add_argument("-eta", type=float, default=1.0)
+    p.add_argument("-zeta", type=float, default=5.0)
+    p.add_argument("-omega", type=float, default=3.0)
+    p.add_argument("-theta", type=float, default=0.0)
+    # model
+    p.add_argument("-embed_dim", type=int, default=36)
+    p.add_argument("-vqdim", type=int, default=36)
+    p.add_argument("-n_rbf", type=int, default=15)
+    p.add_argument("-atom_cutoff", type=float, default=9.0)
+    p.add_argument("-cg_cutoff", type=float, default=21.0)
+    p.add_argument("-edgeorder", type=int, default=2)
+    p.add_argument("-activation", type=str, default="swish")
+    p.add_argument("-enc_nconv", type=int, default=3)
+    p.add_argument("-dec_nconv", type=int, default=4)
+    p.add_argument("-predict_angle", action="store_true", default=False)
+    # vq
+    p.add_argument("-quantize_type", type=str, default="vqvae")
+    p.add_argument("-codebook_size", type=int, default=256)
+    p.add_argument("-codebook_temp", type=float, default=0.25)
+    p.add_argument("-codebook_ema_decay", type=float, default=0.99)
+    p.add_argument("-max_epochs_no_improve", type=int, default=20)
+    return p
+
+
+def main(argv=None):
+    args = parse_with_json(build_parser(), argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from codlad_tpu.data.shards import ShardDataset
+    from codlad_tpu.models.vae import VAE, GenZProt
+    from codlad_tpu.models.vq import vq_init
+    from codlad_tpu.train.checkpoints import CheckpointManager
+    from codlad_tpu.train.logging_utils import (
+        CSVLogger, EarlyStopping, PlateauLR, Timer, create_logger, lowess_smooth)
+    from codlad_tpu.train.losses import LossWeights
+    from codlad_tpu.train.state import create_train_state, exp_decay_schedule
+    from codlad_tpu.train.steps import (
+        make_genzprot_step, make_vqvae_step, weights_to_array)
+
+    logger = create_logger(args.logdir)
+    ckpt = CheckpointManager(args.logdir)
+    ckpt.save_config(vars(args))
+    logger.info(f"args: {vars(args)}")
+
+    train_data = ShardDataset(args.data_dir, args.batch_size, seed=args.seed)
+    val_data = ShardDataset(args.val_dir or args.data_dir, args.batch_size,
+                            seed=args.seed, shuffle=False)
+
+    genzprot = args.train_section == "ivae"
+    common = dict(embed_dim=args.embed_dim, n_rbf=args.n_rbf,
+                  dec_cutoff=args.cg_cutoff, dec_nconv=args.dec_nconv,
+                  enc_nconv=args.enc_nconv, activation=args.activation,
+                  atom_cutoff=args.atom_cutoff, cg_cutoff=args.cg_cutoff)
+    rng = jax.random.PRNGKey(args.seed)
+
+    # init with the first batch shape
+    first = {k: jnp.asarray(v) for k, v in next(iter(val_data)).items()}
+    if genzprot:
+        model = GenZProt(**common)
+        params = model.init(rng, first, rng=rng)
+        train_step, eval_step = make_genzprot_step(model, beta=args.beta)
+        vq_state = None
+    else:
+        model = VAE(mode=args.train_section, vqdim=args.vqdim,
+                    predict_angle=args.predict_angle, **common)
+        params = model.init(rng, first)
+        train_step, eval_step = make_vqvae_step(
+            model, vq_decay=args.codebook_ema_decay,
+            commitment_weight=args.codebook_temp)
+        vq_state = (vq_init(rng, args.codebook_size, args.vqdim)
+                    if args.train_section == "vqvae" else None)
+
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    logger.info(f"model parameters: {n_params:,}")
+
+    if args.scheduler_flag:
+        sched = exp_decay_schedule(args.lr)
+        tx = optax.chain(optax.clip_by_global_norm(5.0),
+                         optax.adamw(sched, weight_decay=1e-3))
+        plateau = None
+    else:
+        plateau = PlateauLR(args.lr, factor=args.factor)
+        tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(args.lr))
+    state = create_train_state(params, tx, vq_state=vq_state)
+
+    if args.resume and ckpt.exists("last"):
+        state = ckpt.restore(state, "last")
+        logger.info(f"resumed from step {int(state.step)}")
+
+    fields = ["epoch", "train_loss", "val_loss", "recon", "graph", "clash",
+              "inter", "xyz", "vq", "kl", "lr"]
+    csvlog = CSVLogger(os.path.join(args.logdir, "train_log.csv"), fields)
+
+    base_w = LossWeights(beta=args.beta, delta=args.delta, eta=args.eta,
+                         zeta=args.zeta, omega=args.omega, theta=args.theta)
+    stopper = EarlyStopping(args.max_epochs_no_improve)
+    val_history, best_val = [], np.inf
+    current_lr = args.lr
+
+    for epoch in range(args.nepochs):
+        w = weights_to_array(base_w.dynamic(epoch, args.dynamic_loss))
+        timer = Timer()
+
+        def run(data, step_fn, train):
+            sums, n = {}, 0
+            nonlocal state
+            for i, hb in enumerate(data):
+                b = {k: jnp.asarray(v) for k, v in hb.items()}
+                key = jax.random.fold_in(jax.random.PRNGKey(args.seed),
+                                         epoch * 100000 + i + (0 if train else 5))
+                if train:
+                    state, metrics = step_fn(state, b, key, w)
+                else:
+                    metrics = step_fn(state, b, key, w)
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                n += 1
+            return {k: v / max(n, 1) for k, v in sums.items()}
+
+        tm = run(train_data, train_step, True)
+        vm = run(val_data, eval_step, False)
+        dt = timer.lap()
+        logger.info(
+            f"epoch {epoch}: train {tm.get('loss', np.nan):.4f} "
+            f"val {vm.get('loss', np.nan):.4f} recon {vm.get('recon', np.nan):.4f} "
+            f"lr {current_lr:.2e} ({dt:.1f}s)")
+        csvlog.append({"epoch": epoch, "train_loss": tm.get("loss"),
+                       "val_loss": vm.get("loss"), "recon": vm.get("recon"),
+                       "graph": vm.get("graph"), "clash": vm.get("clash"),
+                       "inter": vm.get("inter"), "xyz": vm.get("xyz"),
+                       "vq": vm.get("vq", 0), "kl": vm.get("kl", 0),
+                       "lr": current_lr})
+
+        if not np.isfinite(vm.get("loss", np.nan)):
+            logger.info("NaN validation loss — aborting (reference behavior)")
+            break
+
+        # LOWESS-smoothed validation drives selection, plateau LR and early
+        # stopping (reference train_vqvae.py:276-295)
+        val_history.append(vm["loss"])
+        smoothed = lowess_smooth(val_history)[-1]
+        if plateau is not None:
+            new_lr = plateau.step(smoothed)
+            if new_lr != current_lr:
+                logger.info(f"plateau: lr {current_lr:.2e} -> {new_lr:.2e}")
+                current_lr = new_lr
+                tx = optax.chain(optax.clip_by_global_norm(5.0),
+                                 optax.adamw(current_lr))
+                state = state.replace(tx=tx)
+        if smoothed < best_val:
+            best_val = smoothed
+            ckpt.save(state, "best")
+        ckpt.save(state, "last")
+        if epoch % 50 == 0:
+            ckpt.save(state, f"step_{int(state.step)}")
+        if stopper(smoothed):
+            logger.info("early stopping")
+            break
+
+    logger.info("training done")
+    return state
+
+
+if __name__ == "__main__":
+    main()

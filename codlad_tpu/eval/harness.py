@@ -48,12 +48,30 @@ class SamplingPipeline:
     doubled_batch: bool = False
     ode_steps: int = 100
     ode_method: str = "euler"
+    compute_dtype: Any = None  # e.g. jnp.bfloat16 for fast sampling
 
     def _model_fn(self, extras):
+        """Hoist the x-independent conditioning out of the denoise loop and
+        optionally run the per-step body in bf16 (schedule math stays f32)."""
+        denoiser_cls = type(self.denoiser)
+        cond = self.denoiser.apply(
+            self.denoiser_params, extras["res_type"], extras["cg_xyz"],
+            extras["mask"], method=denoiser_cls.compute_condition)
+        params = self.denoiser_params
+        if self.compute_dtype is not None:
+            cast = lambda v: (v.astype(self.compute_dtype)
+                              if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+                              else v)
+            cond = jax.tree.map(cast, cond)
+            params = jax.tree.map(cast, params)
+
         def fn(x, t, rng, x_self_cond=None):
-            return self.denoiser.apply(
-                self.denoiser_params, x, t, extras["res_type"],
-                extras["cg_xyz"], extras["mask"], deterministic=True)
+            xin = x if self.compute_dtype is None else x.astype(self.compute_dtype)
+            out = self.denoiser.apply(params, xin, t, cond,
+                                      x_self_cond=x_self_cond,
+                                      deterministic=True,
+                                      method=denoiser_cls.denoise)
+            return out.astype(jnp.float32)
         return fn
 
     @functools.partial(jax.jit, static_argnums=(0,))

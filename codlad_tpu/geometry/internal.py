@@ -65,7 +65,13 @@ def rotation_matrix(axis, angle):
 
     axis: [..., 3] (unnormalized), angle: [...]. Returns [..., 3, 3].
     Matches reference utils/utils_ic.py:197-210 (note the -sin convention).
+    Degenerate (near-zero) axes — padded residues, collinear parents — fall
+    back to x̂ via a double-where so neither the value nor the gradient can
+    produce NaNs (0 * NaN poisoning through masked branches).
     """
+    n2 = jnp.sum(axis * axis, axis=-1, keepdims=True)
+    fallback = jnp.zeros_like(axis).at[..., 0].set(1.0)
+    axis = jnp.where(n2 > 1e-16, axis, fallback)
     axis = axis / jnp.sqrt(jnp.sum(axis * axis, axis=-1, keepdims=True))
     a = jnp.cos(angle / 2.0)
     res = -axis * jnp.sin(angle / 2.0)[..., None]

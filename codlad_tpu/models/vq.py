@@ -54,6 +54,8 @@ def vq_quantize(state: VQState, z, mask=None, *, train=False, decay=0.99,
     positions from both the loss and the EMA statistics.
     """
     D = z.shape[-1]
+    # restored states may hold host numpy arrays; make them traceable
+    state = jax.tree.map(jnp.asarray, state)
     z_flat = z.reshape(-1, D)
     idx = nearest_code(state.codebook, z_flat)
     quantized = state.codebook[idx].reshape(z.shape)

@@ -73,10 +73,15 @@ def sh_l2(vec, normalize=True, eps=1e-12):
     """Real spherical harmonics (l=0,1,2), component normalization.
 
     vec: [..., 3]. Returns [..., 9] ordered l=0 | l=1 (x,y,z) | l=2.
+    Zero vectors (masked/padded edges) are redirected to x̂ BEFORE the norm
+    so gradients stay finite (norm grad at 0 is NaN, and 0 * NaN poisons
+    masked branches).
     """
     if normalize:
-        n = jnp.linalg.norm(vec, axis=-1, keepdims=True)
-        vec = vec / jnp.maximum(n, eps)
+        n2 = jnp.sum(vec * vec, axis=-1, keepdims=True)
+        fallback = jnp.zeros_like(vec).at[..., 0].set(1.0)
+        vec = jnp.where(n2 > eps, vec, fallback)
+        vec = vec / jnp.linalg.norm(vec, axis=-1, keepdims=True)
     x, y, z = vec[..., 0], vec[..., 1], vec[..., 2]
     s3, s15, s5 = np.sqrt(3.0), np.sqrt(15.0), np.sqrt(5.0)
     return jnp.stack(

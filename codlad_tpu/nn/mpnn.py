@@ -186,9 +186,36 @@ def modulate(x, shift, scale):
     return x * (1 + scale.reshape(shape)) + shift.reshape(shape)
 
 
+class SplitMessageChain(nn.Module):
+    """The MPNN message MLP W3(gelu(W2(gelu(W1(cat[self, edge, nbr])))))
+    with W1 split by input block so gathered tensors are transformed at
+    node level FIRST and gathered after.
+
+    Exactly equivalent to the concatenated form (W1 is linear; per-edge
+    scalar masks commute with it), but it never materializes the
+    [B, L, K, 3H] concat and turns 2/3 of the W1 FLOPs from per-edge into
+    per-node work — the difference between HBM-bound and MXU-bound on TPU.
+    """
+
+    num_hidden: int
+
+    @nn.compact
+    def __call__(self, h_self, edge_pre, nbr_node_pre, E_idx):
+        """h_self: [B, L, H]; edge_pre: [B, L, K, H] per-edge features;
+        nbr_node_pre: [B, L, H] node features to be gathered via E_idx."""
+        act = lambda x: jax.nn.gelu(x, approximate=False)
+        H = self.num_hidden
+        pre = (nn.Dense(H)(h_self)[:, :, None, :]
+               + nn.Dense(H, use_bias=False)(edge_pre)
+               + gather_nodes(nn.Dense(H, use_bias=False)(nbr_node_pre), E_idx))
+        h = nn.Dense(H)(act(pre))
+        return nn.Dense(H)(act(h))
+
+
 class EncLayerDiffusion(nn.Module):
     """Encoder layer: node+edge updates with 9-way adaLN modulation
-    (reference: models/protein_mpnn_utils.py:208-271)."""
+    (reference: models/protein_mpnn_utils.py:208-271; message MLPs in the
+    equivalent split-linear form, see SplitMessageChain)."""
 
     num_hidden: int
     num_in: int
@@ -204,12 +231,8 @@ class EncLayerDiffusion(nn.Module):
 
         ln = lambda: nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        act = lambda x: jax.nn.gelu(x, approximate=False)
 
-        h_EV = cat_neighbors_nodes(h_V, h_E, E_idx)
-        h_V_expand = jnp.broadcast_to(h_V[:, :, None, :], h_EV.shape[:3] + (h_V.shape[-1],))
-        h_EV = jnp.concatenate([h_V_expand, h_EV], axis=-1)
-        h_message = nn.Dense(self.num_hidden)(act(nn.Dense(self.num_hidden)(act(nn.Dense(self.num_hidden)(h_EV)))))
+        h_message = SplitMessageChain(self.num_hidden)(h_V, h_E, h_V, E_idx)
         if mask_attend is not None:
             h_message = mask_attend[..., None] * h_message
         dh = jnp.sum(h_message, axis=-2) / self.scale
@@ -222,18 +245,22 @@ class EncLayerDiffusion(nn.Module):
         if mask_V is not None:
             h_V = mask_V[..., None] * h_V
 
-        h_EV = cat_neighbors_nodes(h_V, h_E, E_idx)
-        h_V_expand = jnp.broadcast_to(h_V[:, :, None, :], h_EV.shape[:3] + (h_V.shape[-1],))
-        h_EV = jnp.concatenate([h_V_expand, h_EV], axis=-1)
-        h_message = nn.Dense(self.num_hidden)(act(nn.Dense(self.num_hidden)(act(nn.Dense(self.num_hidden)(h_EV)))))
+        h_message = SplitMessageChain(self.num_hidden)(h_V, h_E, h_V, E_idx)
         h_E = ln()(h_E + drop(h_message))
         h_E = g3[:, None, None, :] * modulate(h_E, sh3, sc3)
         return h_V, h_E
 
 
 class DecLayerDiffusion(nn.Module):
-    """Decoder layer: node updates with 6-way adaLN modulation
-    (reference: models/protein_mpnn_utils.py:274-318)."""
+    """Decoder layer: node updates with 6-way adaLN modulation (reference:
+    models/protein_mpnn_utils.py:274-318).
+
+    The decoder's message input cat[h_V_self, h_E-ish, h_S_nbr, h_V_nbr]
+    (with the encoder-context sum folded in) is consumed in split-linear
+    form: pass `edge_pre` ([B,L,K,H] per-edge block, e.g. 2*h_E for the
+    summed non-masked path) and `s_node`/`v_node` ([B,L,H] node blocks,
+    transformed per node then gathered via E_idx).
+    """
 
     num_hidden: int
     num_in: int
@@ -241,8 +268,8 @@ class DecLayerDiffusion(nn.Module):
     scale: float = 30.0
 
     @nn.compact
-    def __call__(self, h_V, h_E, mask_V=None, mask_attend=None, c=None,
-                 deterministic=True):
+    def __call__(self, h_V, E_idx, edge_pre, s_node, v_node, mask_V=None,
+                 mask_attend=None, c=None, deterministic=True):
         mods = nn.Dense(6 * self.num_hidden, kernel_init=nn.initializers.zeros,
                         bias_init=nn.initializers.zeros)(jax.nn.silu(c))
         sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mods, 6, axis=-1)
@@ -250,10 +277,21 @@ class DecLayerDiffusion(nn.Module):
         ln = lambda: nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
         act = lambda x: jax.nn.gelu(x, approximate=False)
+        H = self.num_hidden
 
-        h_V_expand = jnp.broadcast_to(h_V[:, :, None, :], h_E.shape[:3] + (h_V.shape[-1],))
-        h_EV = jnp.concatenate([h_V_expand, h_E], axis=-1)
-        h_message = nn.Dense(self.num_hidden)(act(nn.Dense(self.num_hidden)(act(nn.Dense(self.num_hidden)(h_EV)))))
+        d_s = nn.Dense(H, use_bias=False)
+        d_v = nn.Dense(H, use_bias=False)
+        # node-level blocks ([B,L,H]) are transformed then gathered; the
+        # masked-decoder path passes per-edge blocks ([B,L,K,H]) directly
+        if s_node.ndim == 3 and v_node.ndim == 3:
+            nbr = gather_nodes(d_s(s_node) + d_v(v_node), E_idx)
+        else:
+            nbr = d_s(s_node if s_node.ndim == 4 else gather_nodes(s_node, E_idx))
+            nbr = nbr + d_v(v_node if v_node.ndim == 4 else gather_nodes(v_node, E_idx))
+        pre = (nn.Dense(H)(h_V)[:, :, None, :]
+               + nn.Dense(H, use_bias=False)(edge_pre)
+               + nbr)
+        h_message = nn.Dense(H)(act(nn.Dense(H)(act(pre))))
         if mask_attend is not None:
             h_message = mask_attend[..., None] * h_message
         dh = jnp.sum(h_message, axis=-2) / self.scale

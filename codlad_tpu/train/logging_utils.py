@@ -1,0 +1,128 @@
+"""Run logging: stdout+file logger, CSV metric log, LOWESS smoothing,
+early stopping, simple timers.
+
+(reference: utils/train_module.py:88-151, train_vqvae.py:202-303;
+LOWESS-smoothed validation selection replaces statsmodels with a local
+numpy implementation.)
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import time
+
+import numpy as np
+
+
+def create_logger(logdir, name="codlad"):
+    os.makedirs(logdir, exist_ok=True)
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter("[%(asctime)s] %(message)s", "%Y-%m-%d %H:%M:%S")
+    for h in (logging.StreamHandler(), logging.FileHandler(os.path.join(logdir, "log.txt"))):
+        h.setFormatter(fmt)
+        logger.addHandler(h)
+    return logger
+
+
+class CSVLogger:
+    def __init__(self, path, fieldnames):
+        self.path = path
+        self.fieldnames = list(fieldnames)
+        if not os.path.exists(path):
+            with open(path, "w", newline="") as f:
+                csv.DictWriter(f, self.fieldnames).writeheader()
+
+    def append(self, row):
+        with open(self.path, "a", newline="") as f:
+            csv.DictWriter(f, self.fieldnames).writerow(
+                {k: row.get(k, "") for k in self.fieldnames})
+
+
+def lowess_smooth(y, frac=0.3):
+    """Tricube-weighted local linear regression (statsmodels-free LOWESS)."""
+    y = np.asarray(y, np.float64)
+    n = len(y)
+    if n < 3:
+        return y.copy()
+    x = np.arange(n, dtype=np.float64)
+    k = max(int(np.ceil(frac * n)), 2)
+    out = np.empty(n)
+    for i in range(n):
+        d = np.abs(x - x[i])
+        cut = np.sort(d)[k - 1]
+        w = np.clip(1 - (d / max(cut, 1e-12)) ** 3, 0, 1) ** 3
+        sw = w.sum()
+        xm = (w * x).sum() / sw
+        ym = (w * y).sum() / sw
+        cov = (w * (x - xm) * (y - ym)).sum()
+        var = (w * (x - xm) ** 2).sum()
+        b = cov / var if var > 1e-12 else 0.0
+        out[i] = ym + b * (x[i] - xm)
+    return out
+
+
+class EarlyStopping:
+    """(reference utils/train_module.py:117-143)."""
+
+    def __init__(self, patience=20, min_delta=0.0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.counter = 0
+        self.best_loss = None
+        self.early_stop = False
+
+    def __call__(self, val_loss):
+        if self.best_loss is None or self.best_loss - val_loss > self.min_delta:
+            self.best_loss = val_loss
+            self.counter = 0
+        else:
+            self.counter += 1
+            if self.counter >= self.patience:
+                self.early_stop = True
+        return self.early_stop
+
+
+class PlateauLR:
+    """ReduceLROnPlateau equivalent (reference train_vqvae.py:169-175)."""
+
+    def __init__(self, lr, factor=0.3, patience=5, threshold=1e-3,
+                 min_lr=1e-8, cooldown=1):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.cooldown = cooldown
+        self.best = None
+        self.bad = 0
+        self.cool = 0
+
+    def step(self, val_loss):
+        """Returns the (possibly reduced) lr."""
+        if self.best is None or val_loss < self.best - self.threshold:
+            self.best = val_loss
+            self.bad = 0
+        elif self.cool > 0:
+            self.cool -= 1
+        else:
+            self.bad += 1
+            if self.bad > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.bad = 0
+                self.cool = self.cooldown
+        return self.lr
+
+
+class Timer:
+    def __init__(self):
+        self.t0 = time.perf_counter()
+
+    def lap(self):
+        now = time.perf_counter()
+        dt = now - self.t0
+        self.t0 = now
+        return dt

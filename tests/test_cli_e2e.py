@@ -1,0 +1,100 @@
+"""End-to-end CLI pipeline test: preprocess -> train Stage 1 -> extract
+features -> train Stage 2 -> evaluate. Tiny shapes, full coverage of the
+user-facing workflow."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("e2e")
+
+
+def test_full_pipeline(workdir):
+    from codlad_tpu.cli import extract_features, preprocess, test as test_cli, train_vqvae
+
+    shards_dir = str(workdir / "shards")
+    # 1. preprocess synthetic data (2 proteins x 6 frames, 14 residues)
+    preprocess.main(["--synthetic", "2", "14", "6", "--out_dir", shards_dir])
+    manifest = json.load(open(os.path.join(shards_dir, "manifest.json")))
+    assert len(manifest["success"]) == 2
+
+    # 2. Stage-1 VQ-VAE training (2 epochs, tiny model)
+    logdir = str(workdir / "vq")
+    train_vqvae.main([
+        "-data_dir", shards_dir, "-logdir", logdir, "-nepochs", "2",
+        "-batch_size", "2", "-enc_nconv", "2", "-dec_nconv", "2",
+        "-vqdim", "3", "-codebook_size", "32",
+    ])
+    assert os.path.isdir(os.path.join(logdir, "last"))
+    assert os.path.exists(os.path.join(logdir, "train_log.csv"))
+
+    # 3. extract latent features + stats
+    feat_dir = str(workdir / "features")
+    stats_dir = str(workdir / "stats")
+    extract_features.main([
+        "--ckpt", logdir, "--data_dir", shards_dir, "--out_dir", feat_dir,
+        "--stats_name", "TEST", "--stats_dir", stats_dir,
+    ])
+    assert os.path.exists(os.path.join(stats_dir, "TEST_stats.npz"))
+    z = np.load(os.path.join(feat_dir, "prot_0000.npz"))
+    assert z["latents"].shape[-1] == 3
+
+    # 4. Stage-2 latent diffusion training (a few steps)
+    from codlad_tpu.cli import train_latent
+    exp_dir = str(workdir / "latent")
+    train_latent.main([
+        "--feature_dir", feat_dir, "--exp", exp_dir, "--model", "diffusion",
+        "--latent_size", "3", "--batch_size", "4", "--epochs", "1",
+        "--max_steps", "4", "--warmup", "2", "--save_step", "4",
+        "--stats_name", "TEST", "--stats_dir", stats_dir, "--dropout", "0.0",
+        "--log_step", "2",
+    ])
+    assert os.path.isdir(os.path.join(exp_dir, "last"))
+
+    # 5. evaluation: recon experiment
+    out_dir = str(workdir / "eval_recon")
+    summary = test_cli.main([
+        "--experiment", "recon", "--vae_ckpt", logdir,
+        "--data_dir", shards_dir, "--out_dir", out_dir,
+        "--stats_name", "TEST", "--stats_dir", stats_dir,
+        "--batch_size", "2", "--save_pdb",
+    ])
+    g = summary["__global__"]
+    assert np.isfinite(g["rmsd"]) and np.isfinite(g["ged"])
+    pdbs = [f for f in os.listdir(out_dir) if f.endswith(".pdb")]
+    assert pdbs, "recon PDB export missing"
+
+    # 6. evaluation: latent sampling experiment (tiny ensemble/steps)
+    out_dir2 = str(workdir / "eval_latent")
+    summary2 = test_cli.main([
+        "--experiment", "latent", "--model", "diffusion",
+        "--vae_ckpt", logdir, "--latent_ckpt", exp_dir,
+        "--data_dir", shards_dir, "--out_dir", out_dir2,
+        "--num_sampling_steps", "4", "--num_ensemble", "2",
+        "--stats_name", "TEST", "--stats_dir", stats_dir,
+        "--batch_size", "2",
+    ])
+    g2 = summary2["__global__"]
+    assert np.isfinite(g2["rmsd"]) and np.isfinite(g2["div"])
+
+
+def test_pdb_roundtrip(workdir):
+    """write_pdb -> parse_pdb preserves structure."""
+    from codlad_tpu.data.pdb import parse_pdb, write_pdb
+    from codlad_tpu.data.synthetic import random_protein
+
+    rng = np.random.default_rng(0)
+    res_type_og, chain_id_og, cg, xyz14 = random_protein(rng, 12)
+    path = str(workdir / "test.pdb")
+    write_pdb(path, res_type_og, chain_id_og, xyz14[None])
+    parsed = parse_pdb(path)
+    # modeled residues of the written file = all residues minus terminals
+    # of the re-parse; compare the overlapping region's CA positions
+    assert parsed["res_type_og"].tolist() == res_type_og[1:-1].tolist()
+    ca_written = xyz14[:, 3]  # CA slot of modeled residues
+    np.testing.assert_allclose(parsed["cg_xyz_og"][0], ca_written, atol=2e-3)
