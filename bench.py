@@ -47,9 +47,11 @@ def main():
     mask = jnp.ones((B, L), dtype=bool)
 
     model = mpnn_diffusion(input_size=3, learn_sigma=True, dropout=0.0)
-    x0 = jnp.zeros((B, L, 3))
-    params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((B,), jnp.int32),
-                        res_type, cg, mask)
+    # init at tiny shapes (params are batch/length independent; full-shape
+    # init would eagerly execute the whole forward)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 3)),
+                        jnp.zeros((1,), jnp.int32), res_type[:1, :16],
+                        cg[:1, :16], mask[:1, :16])
     diffusion = create_diffusion(f"ddim{DENOISE_STEPS}", diffusion_steps=1000,
                                  learn_sigma=True)
 
@@ -57,22 +59,33 @@ def main():
     # in bf16 (schedule math stays f32)
     from codlad_tpu.models.denoiser import MPNNDenoiser
 
-    cond = model.apply(params, res_type, cg, mask,
-                       method=MPNNDenoiser.compute_condition)
+    cond = jax.jit(lambda p, r, c, m: model.apply(
+        p, r, c, m, method=MPNNDenoiser.compute_condition))(params, res_type, cg, mask)
     cast = lambda v: (v.astype(jnp.bfloat16)
                       if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
                       else v)
     cond_bf16 = jax.tree.map(cast, cond)
     params_bf16 = jax.tree.map(cast, params)
 
-    def model_fn(x, t, rng, x_self_cond=None):
-        out = model.apply(params_bf16, x.astype(jnp.bfloat16), t, cond_bf16,
-                          deterministic=True, method=MPNNDenoiser.denoise)
-        return out.astype(jnp.float32)
-
+    # IMPORTANT: params/cond are jit ARGUMENTS, not closure captures — a
+    # capture would inline hundreds of MB of constants into the XLA program.
     @jax.jit
+    def step(rng, x, t_idx, p, c):
+        def model_fn(x, t, rng, x_self_cond=None):
+            out = model.apply(p, x.astype(jnp.bfloat16), t, c,
+                              deterministic=True, method=MPNNDenoiser.denoise)
+            return out.astype(jnp.float32)
+        return diffusion.p_sample(rng, model_fn, x, t_idx)[0]
+
+    # host loop over the jitted single step: identical math to the fused
+    # scan (see gen/diffusion.py) with a 100x smaller compile
     def sample(rng):
-        return diffusion.p_sample_loop(rng, model_fn, (B, L, 3))
+        rng, sub = jax.random.split(rng)
+        x = jax.random.normal(sub, (B, L, 3))
+        for t_idx in reversed(range(DENOISE_STEPS)):
+            rng, sub = jax.random.split(rng)
+            x = step(sub, x, jnp.int32(t_idx), params_bf16, cond_bf16)
+        return x
 
     # compile + warmup
     out = sample(jax.random.PRNGKey(0))

@@ -33,7 +33,7 @@ from codlad_tpu.models.vae import VAE
 from codlad_tpu.models.vq import vq_quantize
 
 
-@dataclasses.dataclass(eq=False)  # identity hash: jit caches per instance
+@dataclasses.dataclass(eq=False)
 class SamplingPipeline:
     denoiser: Any            # flax module
     denoiser_params: Any
@@ -50,79 +50,92 @@ class SamplingPipeline:
     ode_method: str = "euler"
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for fast sampling
 
-    def _model_fn(self, extras):
-        """Hoist the x-independent conditioning out of the denoise loop and
-        optionally run the per-step body in bf16 (schedule math stays f32)."""
-        denoiser_cls = type(self.denoiser)
-        cond = self.denoiser.apply(
-            self.denoiser_params, extras["res_type"], extras["cg_xyz"],
-            extras["mask"], method=denoiser_cls.compute_condition)
-        params = self.denoiser_params
-        if self.compute_dtype is not None:
-            cast = lambda v: (v.astype(self.compute_dtype)
-                              if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
-                              else v)
-            cond = jax.tree.map(cast, cond)
-            params = jax.tree.map(cast, params)
+    # All jitted functions take arrays as ARGUMENTS (never as closure
+    # captures) — captured arrays would be inlined into the XLA program as
+    # constants, ballooning compile time and memory.
 
-        def fn(x, t, rng, x_self_cond=None):
+    def _cast(self, tree):
+        if self.compute_dtype is None:
+            return tree
+        cast = lambda v: (v.astype(self.compute_dtype)
+                          if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+                          else v)
+        return jax.tree.map(cast, tree)
+
+    def _denoiser_cls(self):
+        return type(self.denoiser)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _compute_condition(self, params, extras):
+        cond = self.denoiser.apply(
+            params, extras["res_type"], extras["cg_xyz"], extras["mask"],
+            method=self._denoiser_cls().compute_condition)
+        return self._cast(cond)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _sample_from_cond(self, rng, params, cond, noise):
+        def model_fn(x, t, k, x_self_cond=None):
             xin = x if self.compute_dtype is None else x.astype(self.compute_dtype)
             out = self.denoiser.apply(params, xin, t, cond,
                                       x_self_cond=x_self_cond,
                                       deterministic=True,
-                                      method=denoiser_cls.denoise)
+                                      method=self._denoiser_cls().denoise)
             return out.astype(jnp.float32)
-        return fn
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def sample_latents(self, rng, extras):
-        """Draw normalized latents [B, L, latent_size] given CG conditioning."""
-        B, L = extras["res_type"].shape
-        shape = (B, L, self.latent_size)
-        if self.doubled_batch:
-            extras = {k: jnp.concatenate([v, v], 0) for k, v in extras.items()}
-            rng, sub = jax.random.split(rng)
-            z = jax.random.normal(sub, shape)
-            z = jnp.concatenate([z, z], 0)
-            shape = (2 * B, L, self.latent_size)
-        else:
-            rng, sub = jax.random.split(rng)
-            z = jax.random.normal(sub, shape)
-
-        model_fn = self._model_fn(extras)
         if self.process_kind == "diffusion":
-            out = self.process.p_sample_loop(rng, model_fn, shape, noise=z,
-                                             clip_denoised=False)
-        else:
-            f = lambda t, x: model_fn(x, jnp.full((shape[0],), t), None)
-            out, _ = odeint(f, z, 0.0, 1.0, steps=self.ode_steps,
-                            method=self.ode_method)
-        if self.doubled_batch:
-            out = out[:B]
+            return self.process.p_sample_loop(rng, model_fn, noise.shape,
+                                              noise=noise, clip_denoised=False)
+        f = lambda t, x: model_fn(x, jnp.full((noise.shape[0],), t), None)
+        out, _ = odeint(f, noise, 0.0, 1.0, steps=self.ode_steps,
+                        method=self.ode_method)
         return out
 
+    def sample_latents(self, rng, extras, params=None):
+        """Draw normalized latents [B, L, latent_size] given CG conditioning."""
+        params = self.denoiser_params if params is None else params
+        params = self._cast(params)
+        B, L = extras["res_type"].shape
+        rng, sub = jax.random.split(rng)
+        z = jax.random.normal(sub, (B, L, self.latent_size))
+        if self.doubled_batch:
+            # reference pushes a doubled batch even at cfg 0.0
+            # (test.py:504-535); halves are identical
+            extras = {k: jnp.concatenate([v, v], 0) for k, v in extras.items()}
+            z = jnp.concatenate([z, z], 0)
+        cond = self._compute_condition(params, extras)
+        out = self._sample_from_cond(rng, params, cond, z)
+        return out[:B]
+
     @functools.partial(jax.jit, static_argnums=(0,))
-    def decode(self, batch, latents_norm):
-        """De-normalize, snap to the codebook, decode to ic + coordinates
-        (reference test.py:548-582 + vae_model.py:830-838)."""
-        latents = latents_norm * jnp.asarray(self.norm_std) + jnp.asarray(self.norm_mean)
-        if self.vq_state is not None:
-            latents, _, _, _ = vq_quantize(self.vq_state, latents,
+    def _decode(self, vae_params, vq_state, batch, latents_norm, norm):
+        mean, std = norm
+        latents = latents_norm * std + mean
+        if vq_state is not None:
+            latents, _, _, _ = vq_quantize(vq_state, latents,
                                            batch["res_mask"], train=False)
-        ic_recon = self.vae.apply(self.vae_params, batch, latents,
-                                  method=VAE.decode)
+        ic_recon = self.vae.apply(vae_params, batch, latents, method=VAE.decode)
         xyz14 = ic_to_xyz14(batch["cg_xyz_og"], ic_recon, batch["res_type"])
         return ic_recon, xyz14
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def encode_latents(self, batch):
-        """--experiment recon path: pre-VQ encoder latents."""
-        h, _ = self.vae.apply(self.vae_params, batch, method=VAE.encode)
-        return h
+    def decode(self, batch, latents_norm):
+        """De-normalize, snap to the codebook, decode to ic + coordinates
+        (reference test.py:548-582 + vae_model.py:830-838)."""
+        norm = (jnp.asarray(self.norm_mean, jnp.float32),
+                jnp.asarray(self.norm_std, jnp.float32))
+        return self._decode(self.vae_params, self.vq_state, batch,
+                            latents_norm, norm)
 
     @functools.partial(jax.jit, static_argnums=(0,))
+    def _encode(self, vae_params, batch):
+        h, _ = self.vae.apply(vae_params, batch, method=VAE.encode)
+        return h
+
+    def encode_latents(self, batch):
+        """--experiment recon path: pre-VQ encoder latents."""
+        return self._encode(self.vae_params, batch)
+
     def sample_and_decode(self, rng, batch):
-        """The fused benchmark path: conditioning -> latents -> structure."""
+        """The benchmark path: conditioning -> latents -> structure."""
         extras = {
             "res_type": batch["res_type"],
             "cg_xyz": batch["cg_xyz_og"][:, 1:-1],

@@ -186,6 +186,50 @@ class GaussianDiffusion:
         mean, _, _ = self.q_posterior(pred_xstart, x, t)
         return {"mean": mean, "log_variance": model_log_var, "pred_xstart": pred_xstart}
 
+    def p_sample(self, rng, model_fn, x, t_idx, clip_denoised=False,
+                 x_self_cond=None):
+        """One ancestral step x_t -> x_{t-1}. t_idx: scalar respaced index.
+        Returns (sample, pred_xstart)."""
+        B = x.shape[0]
+        t = jnp.full((B,), t_idx, jnp.int32)
+        k_model, k_noise = jax.random.split(rng)
+        if self.self_condition:
+            model_out = model_fn(x, self.map_t(t), k_model, x_self_cond=x_self_cond)
+        else:
+            model_out = model_fn(x, self.map_t(t), k_model)
+        out = self.p_mean_variance(model_out, x, t, clip_denoised)
+        z = jax.random.normal(k_noise, x.shape)
+        nonzero = (t_idx != 0).astype(x.dtype)
+        sample = out["mean"] + nonzero * jnp.exp(0.5 * out["log_variance"]) * z
+        if x.shape[-1] == 2:
+            sample = _wrap_pm1(sample)
+        return sample, out["pred_xstart"]
+
+    def p_sample_loop_host(self, rng, model_fn, shape, noise=None,
+                           clip_denoised=False, jit_step=True):
+        """Host-side loop over a jitted single step: identical math to
+        `p_sample_loop`, but only the step body compiles (a 100x smaller
+        XLA program — dispatch overhead is negligible vs step cost)."""
+        if noise is None:
+            rng, sub = jax.random.split(rng)
+            noise = jax.random.normal(sub, shape)
+
+        if self.self_condition:
+            def step(rng, x, t_idx, x_start):
+                return self.p_sample(rng, model_fn, x, t_idx, clip_denoised,
+                                     x_self_cond=x_start)
+        else:
+            def step(rng, x, t_idx, _):
+                return self.p_sample(rng, model_fn, x, t_idx, clip_denoised)
+        if jit_step:
+            step = jax.jit(step)
+
+        x, x_start = noise, jnp.zeros_like(noise)
+        for t_idx in reversed(range(self.num_timesteps)):
+            rng, sub = jax.random.split(rng)
+            x, x_start = step(sub, x, jnp.int32(t_idx), x_start)
+        return x
+
     def p_sample_loop(self, rng, model_fn, shape, noise=None, clip_denoised=False,
                       progress=False):
         """Full ancestral sampling as one lax.scan (jit-able end to end).
@@ -199,21 +243,11 @@ class GaussianDiffusion:
 
         def step(carry, i):
             x, rng, x_start_prev = carry
-            t_idx = T - 1 - i
-            t = jnp.full((shape[0],), t_idx, jnp.int32)
-            rng, k_model, k_noise = jax.random.split(rng, 3)
-            t_base = self.map_t(t)
-            if self.self_condition:
-                model_out = model_fn(x, t_base, k_model, x_self_cond=x_start_prev)
-            else:
-                model_out = model_fn(x, t_base, k_model)
-            out = self.p_mean_variance(model_out, x, t, clip_denoised)
-            z = jax.random.normal(k_noise, x.shape)
-            nonzero = (t_idx != 0).astype(x.dtype)
-            sample = out["mean"] + nonzero * jnp.exp(0.5 * out["log_variance"]) * z
-            if shape[-1] == 2:
-                sample = _wrap_pm1(sample)
-            return (sample, rng, out["pred_xstart"]), None
+            rng, sub = jax.random.split(rng)
+            sample, x_start = self.p_sample(
+                sub, model_fn, x, T - 1 - i, clip_denoised,
+                x_self_cond=x_start_prev if self.self_condition else None)
+            return (sample, rng, x_start), None
 
         carry = (noise, rng, jnp.zeros_like(noise))
         (x, _, _), _ = jax.lax.scan(step, carry, jnp.arange(T))

@@ -34,8 +34,9 @@ from codlad_tpu.nn.mpnn import (
     CAProteinFeatures,
     DecLayerDiffusion,
     EncLayerDiffusion,
-    cat_neighbors_nodes,
+    gather_neighbors,
     gather_nodes,
+    make_neighbor_gather,
 )
 
 
@@ -56,6 +57,7 @@ class MPNNDenoiser(nn.Module):
     use_input_decoding_order: bool = False
     self_condition: bool = False
     final_adln: bool = True
+    gather_mode: str = "auto"  # see nn.mpnn.make_neighbor_gather
 
     def setup(self):
         h = self.hidden_dim
@@ -89,14 +91,16 @@ class MPNNDenoiser(nn.Module):
         h_S = self.w_s(res_type)
         mask_attend = gather_nodes(maskf[..., None], E_idx)[..., 0]
         mask_attend = maskf[..., None] * mask_attend
-        return {"E_idx": E_idx, "h_E0": h_E0, "h_S": h_S, "maskf": maskf,
+        nbr = make_neighbor_gather(E_idx, mode=self.gather_mode)
+        return {"nbr": nbr, "h_E0": h_E0, "h_S": h_S, "maskf": maskf,
                 "mask_attend": mask_attend}
 
     def denoise(self, x, t, cond, x_self_cond=None, deterministic=True,
                 decoding_rng=None):
         """One denoiser evaluation given precomputed conditioning."""
         B, L, _ = x.shape
-        E_idx, maskf = cond["E_idx"], cond["maskf"].astype(x.dtype)
+        nbr, maskf = cond["nbr"], cond["maskf"].astype(x.dtype)
+        E_idx = nbr["idx"]
         mask_attend = cond["mask_attend"].astype(x.dtype)
         h_S = cond["h_S"].astype(x.dtype)
 
@@ -112,7 +116,7 @@ class MPNNDenoiser(nn.Module):
         h_E = cond["h_E0"].astype(x.dtype)
 
         for layer in self.enc_layers:
-            h_V, h_E = layer(h_V, h_E, E_idx, maskf, mask_attend, c=c,
+            h_V, h_E = layer(h_V, h_E, nbr, maskf, mask_attend, c=c,
                              deterministic=deterministic)
 
         # Decoder message input, block-decomposed (see DecLayerDiffusion):
@@ -135,20 +139,20 @@ class MPNNDenoiser(nn.Module):
             mask_bw = mask_1d * mask_attend_d
             mask_fw = mask_1d * (1.0 - mask_attend_d)
             s_enc = h_S if self.use_seq_in_encoder else jnp.zeros_like(h_S)
-            s_nbr = gather_nodes(h_S, E_idx)
-            s_enc_nbr = gather_nodes(s_enc, E_idx)
-            venc_nbr = gather_nodes(h_V_enc, E_idx)
+            s_nbr = gather_neighbors(h_S, nbr)
+            s_enc_nbr = gather_neighbors(s_enc, nbr)
+            venc_nbr = gather_neighbors(h_V_enc, nbr)
             edge_pre = (mask_bw + mask_fw) * h_E
             s_edge = mask_bw * s_nbr + mask_fw * s_enc_nbr
             for layer in self.dec_layers:
-                v_edge = mask_bw * gather_nodes(h_V, E_idx) + mask_fw * venc_nbr
-                h_V = layer(h_V, E_idx, edge_pre, s_edge, v_edge, maskf, c=c,
+                v_edge = mask_bw * gather_neighbors(h_V, nbr) + mask_fw * venc_nbr
+                h_V = layer(h_V, nbr, edge_pre, s_edge, v_edge, maskf, c=c,
                             deterministic=deterministic)
         else:
             edge_pre = 2.0 * h_E
             s_node = s_scale * h_S
             for layer in self.dec_layers:
-                h_V = layer(h_V, E_idx, edge_pre, s_node, h_V + h_V_enc,
+                h_V = layer(h_V, nbr, edge_pre, s_node, h_V + h_V_enc,
                             maskf, c=c, deterministic=deterministic)
 
         if self.final_adln:

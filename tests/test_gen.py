@@ -157,3 +157,15 @@ def test_ode_solvers_exponential_decay():
         np.testing.assert_allclose(np.asarray(x1), np.exp(-1.0) * np.ones((4, 3)),
                                    atol=tol, err_msg=method)
         assert nfe > 0
+
+
+def test_host_loop_matches_scan_loop():
+    d = create_diffusion("ddim5", diffusion_steps=100, learn_sigma=True)
+
+    def model_fn(x, t, rng, **kw):
+        return jnp.concatenate([0.1 * x, -jnp.ones_like(x)], axis=-1)
+
+    rng = jax.random.PRNGKey(7)
+    a = jax.jit(lambda r: d.p_sample_loop(r, model_fn, (2, 4, 3)))(rng)
+    b = d.p_sample_loop_host(rng, model_fn, (2, 4, 3))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
