@@ -1,0 +1,235 @@
+"""Pallas TPU kernels for the MPNN message chains.
+
+The denoise step's cost is dominated by [B, L, K, H] message tensors
+(B=96, L=128, K=64, H=128 -> 100M elements): the XLA path materializes
+several of them per chain (pre-activation, two hidden states) in HBM.  The
+fused kernel streams the per-edge features through VMEM once:
+
+    pre = A[l]  +  E[l,k] @ W_e  +  G[idx[l,k]]           (gather in VMEM)
+    m   = gelu(gelu(pre) @ W2 + b2) @ W3 + b3
+    out[l] = sum_k mask[l,k] * m[l,k] / scale              (sum variant)
+
+HBM traffic per chain drops from ~1.4 GB to ~200 MB (one read of E).  The
+neighbor gather happens inside VMEM via an on-the-fly one-hot matmul
+(selection matrices hit the MXU; dynamic row loads would serialize).
+
+`fused_message_sum` / `fused_message_edge` carry a custom_vjp whose backward
+re-derives gradients from the pure-JAX reference implementation, so the
+kernels are usable in training too.  On non-TPU backends the reference
+implementation runs directly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pltpu only exists with TPU support compiled in
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+
+def _gelu(x):
+    # tanh-approximate gelu: Pallas TPU cannot lower erf/erfc, and the
+    # approximation error (~1e-3) is below bf16 resolution anyway.  Used
+    # consistently in the kernel, the reference twin, and the backward.
+    return jax.nn.gelu(x, approximate=True)
+
+
+def _use_pallas():
+    try:
+        return jax.default_backend() in ("tpu", "axon") and pltpu is not None
+    except Exception:  # pragma: no cover
+        return False
+
+
+# ---------------------------------------------------------------------------
+# reference implementations (ground truth + backward + non-TPU fallback)
+
+
+def _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3):
+    """[B, L, K, H] messages before mask/sum."""
+    B, L, K, H = E.shape
+    g = jnp.take_along_axis(Gn, idx.reshape(B, L * K, 1), axis=1).reshape(B, L, K, H)
+    pre = A[:, :, None, :] + E @ W_e + g
+    x = _gelu(pre) @ W2 + b2
+    return _gelu(x) @ W3 + b3
+
+
+def _ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale):
+    m = _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3)
+    m = m * mask[..., None]
+    return m.sum(axis=2) / scale
+
+
+# ---------------------------------------------------------------------------
+# pallas kernels
+
+
+def _sum_kernel(oh_ref, a_ref, e_ref, g_ref, mask_ref, we_ref, w2_ref,
+                b2_ref, w3_ref, b3_ref, out_ref):
+    TL, K, H = e_ref.shape[1], e_ref.shape[2], e_ref.shape[3]
+    f32 = jnp.float32
+
+    # NB: all reshapes merge/split LEADING dims only (Mosaic cannot shape-
+    # cast across the minor/lane dimension).
+    e = e_ref[0].reshape(TL * K, H)
+    onehot = oh_ref[0]  # [TL*K, L] selection matrix, precomputed once
+    g = jnp.dot(onehot, g_ref[0], preferred_element_type=f32)
+    a = jnp.broadcast_to(a_ref[0][:, None, :].astype(f32),
+                         (TL, K, H)).reshape(TL * K, H)
+    pre = a + jnp.dot(e, we_ref[...], preferred_element_type=f32) + g
+    x = jnp.dot(_gelu(pre).astype(e.dtype), w2_ref[...],
+                preferred_element_type=f32) + b2_ref[...].astype(f32)
+    x = jnp.dot(_gelu(x).astype(e.dtype), w3_ref[...],
+                preferred_element_type=f32) + b3_ref[...].astype(f32)
+    x3 = x.reshape(TL, K, H) * mask_ref[0][..., None].astype(f32)
+    out_ref[0] = x3.sum(axis=1).astype(out_ref.dtype)
+
+
+def _edge_kernel(oh_ref, a_ref, e_ref, g_ref, we_ref, w2_ref, b2_ref,
+                 w3_ref, b3_ref, out_ref):
+    TL, K, H = e_ref.shape[1], e_ref.shape[2], e_ref.shape[3]
+    f32 = jnp.float32
+
+    e = e_ref[0].reshape(TL * K, H)
+    onehot = oh_ref[0]  # [TL*K, L] selection matrix, precomputed once
+    g = jnp.dot(onehot, g_ref[0], preferred_element_type=f32)
+    a = jnp.broadcast_to(a_ref[0][:, None, :].astype(f32),
+                         (TL, K, H)).reshape(TL * K, H)
+    pre = a + jnp.dot(e, we_ref[...], preferred_element_type=f32) + g
+    x = jnp.dot(_gelu(pre).astype(e.dtype), w2_ref[...],
+                preferred_element_type=f32) + b2_ref[...].astype(f32)
+    x = jnp.dot(_gelu(x).astype(e.dtype), w3_ref[...],
+                preferred_element_type=f32) + b3_ref[...].astype(f32)
+    out_ref[0] = x.reshape(TL, K, H).astype(out_ref.dtype)
+
+
+def _tile_rows(L, K=64, H=128):
+    """Largest row tile whose working set (E block bf16 + two f32
+    intermediates, double-buffered input) stays well under VMEM."""
+    budget = 8 * 1024 * 1024
+    for tl in (128, 64, 32, 16, 8, 4, 2, 1):
+        if L % tl == 0 and tl * K * H * (2 * 2 + 4 * 2) <= budget:
+            return tl
+    return 1
+
+
+def _pallas_message_sum(A, E, Gn, onehot, mask, W_e, W2, b2, W3, b3, scale):
+    B, L, K, H = E.shape
+    TL = _tile_rows(L, K, H)
+    grid = (B, L // TL)
+    dt = E.dtype
+
+    out = pl.pallas_call(
+        _sum_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TL * K, L), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, TL, H), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, L, H), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, TL, K), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
+            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
+            pl.BlockSpec((H,), lambda b, i: (0,)),
+            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
+            pl.BlockSpec((H,), lambda b, i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, TL, H), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, H), jnp.float32),
+    )(onehot.astype(dt), A.astype(dt), E, Gn.astype(dt),
+      mask.astype(jnp.float32), W_e.astype(dt), W2.astype(dt), b2,
+      W3.astype(dt), b3)
+    return out / scale
+
+
+def _pallas_message_edge(A, E, Gn, onehot, W_e, W2, b2, W3, b3):
+    B, L, K, H = E.shape
+    TL = _tile_rows(L, K, H)
+    grid = (B, L // TL)
+    dt = E.dtype
+
+    return pl.pallas_call(
+        _edge_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TL * K, L), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, TL, H), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, L, H), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
+            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
+            pl.BlockSpec((H,), lambda b, i: (0,)),
+            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
+            pl.BlockSpec((H,), lambda b, i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, K, H), E.dtype),
+    )(onehot.astype(dt), A.astype(dt), E, Gn.astype(dt),
+      W_e.astype(dt), W2.astype(dt), b2, W3.astype(dt), b3)
+
+
+# ---------------------------------------------------------------------------
+# public API with custom vjp (backward via the reference implementation)
+
+
+@jax.custom_vjp
+def fused_message_sum(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale):
+    """Masked, K-summed message chain -> [B, L, H] (f32).
+
+    idx [B,L,K] drives the fallback; onehot [B, L*K, L] (bf16, built once
+    per conditioning via nn.mpnn.make_neighbor_gather) drives the kernel.
+    """
+    if _use_pallas() and onehot is not None:
+        return _pallas_message_sum(A, E, Gn, onehot, mask, W_e, W2, b2, W3, b3, scale)
+    return _ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale)
+
+
+def _sum_fwd(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale):
+    out = fused_message_sum(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale)
+    return out, (A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale)
+
+
+def _sum_bwd(res, g):
+    A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale = res
+    _, vjp = jax.vjp(
+        lambda A, E, Gn, W_e, W2, b2, W3, b3: _ref_message_sum(
+            A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale),
+        A, E, Gn, W_e, W2, b2, W3, b3)
+    dA, dE, dGn, dW_e, dW2, db2, dW3, db3 = vjp(g)
+    return dA, dE, dGn, None, None, None, dW_e, dW2, db2, dW3, db3, None
+
+
+fused_message_sum.defvjp(_sum_fwd, _sum_bwd)
+
+
+@jax.custom_vjp
+def fused_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
+    """Unsummed message chain -> [B, L, K, H] (input dtype)."""
+    if _use_pallas() and onehot is not None:
+        return _pallas_message_edge(A, E, Gn, onehot, W_e, W2, b2, W3, b3)
+    return _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3).astype(E.dtype)
+
+
+def _edge_fwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
+    out = fused_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3)
+    return out, (A, E, Gn, idx, W_e, W2, b2, W3, b3)
+
+
+def _edge_bwd(res, g):
+    A, E, Gn, idx, W_e, W2, b2, W3, b3 = res
+    _, vjp = jax.vjp(
+        lambda A, E, Gn, W_e, W2, b2, W3, b3: _ref_message(
+            A, E, Gn, idx, W_e, W2, b2, W3, b3).astype(E.dtype),
+        A, E, Gn, W_e, W2, b2, W3, b3)
+    dA, dE, dGn, dW_e, dW2, db2, dW3, db3 = vjp(g)
+    return dA, dE, dGn, None, None, dW_e, dW2, db2, dW3, db3
+
+
+fused_message_edge.defvjp(_edge_fwd, _edge_bwd)

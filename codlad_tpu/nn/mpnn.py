@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from codlad_tpu.kernels.mpnn_kernels import fused_message_edge, fused_message_sum
+
 
 def gather_nodes(nodes, neighbor_idx):
     """nodes [B,N,C], idx [B,N,K] -> [B,N,K,C]."""
@@ -222,22 +224,41 @@ class SplitMessageChain(nn.Module):
     Exactly equivalent to the concatenated form (W1 is linear; per-edge
     scalar masks commute with it), but it never materializes the
     [B, L, K, 3H] concat and turns 2/3 of the W1 FLOPs from per-edge into
-    per-node work — the difference between HBM-bound and MXU-bound on TPU.
+    per-node work.  The per-edge part (edge matmul, in-VMEM gather, two
+    gelu-matmuls, optional masked K-sum) runs as ONE fused Pallas kernel on
+    TPU (see kernels/mpnn_kernels.py); gelu is the tanh approximation there.
+
+    reduce_sum=True returns the masked sum over neighbors [B, L, H] / scale;
+    False returns raw messages [B, L, K, H].
     """
 
     num_hidden: int
+    reduce_sum: bool = False
+    scale: float = 30.0
 
     @nn.compact
-    def __call__(self, h_self, edge_pre, nbr_node_pre, nbr):
+    def __call__(self, h_self, edge_pre, nbr_node_pre, nbr, mask_attend=None):
         """h_self: [B, L, H]; edge_pre: [B, L, K, H] per-edge features;
         nbr_node_pre: [B, L, H] node features gathered via the `nbr` op."""
-        act = lambda x: jax.nn.gelu(x, approximate=False)
         H = self.num_hidden
-        pre = (nn.Dense(H)(h_self)[:, :, None, :]
-               + nn.Dense(H, use_bias=False)(edge_pre)
-               + gather_neighbors(nn.Dense(H, use_bias=False)(nbr_node_pre), nbr))
-        h = nn.Dense(H)(act(pre))
-        return nn.Dense(H)(act(h))
+        A = nn.Dense(H)(h_self)
+        Gn = nn.Dense(H, use_bias=False)(nbr_node_pre)
+        init = nn.initializers.lecun_normal()
+        W_e = self.param("W_e", init, (edge_pre.shape[-1], H))
+        W2 = self.param("W2", init, (H, H))
+        b2 = self.param("b2", nn.initializers.zeros, (H,))
+        W3 = self.param("W3", init, (H, H))
+        b3 = self.param("b3", nn.initializers.zeros, (H,))
+        idx = nbr["idx"]
+        onehot = nbr.get("onehot")
+        if self.reduce_sum:
+            if mask_attend is None:
+                mask_attend = jnp.ones(idx.shape, A.dtype)
+            return fused_message_sum(A, edge_pre, Gn, idx, onehot,
+                                     mask_attend, W_e, W2, b2, W3, b3,
+                                     self.scale)
+        return fused_message_edge(A, edge_pre, Gn, idx, onehot,
+                                  W_e, W2, b2, W3, b3)
 
 
 class EncLayerDiffusion(nn.Module):
@@ -260,11 +281,10 @@ class EncLayerDiffusion(nn.Module):
         ln = lambda: nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
-        h_message = SplitMessageChain(self.num_hidden)(h_V, h_E, h_V, nbr)
-        if mask_attend is not None:
-            h_message = mask_attend[..., None] * h_message
-        dh = jnp.sum(h_message, axis=-2) / self.scale
-        h_V = ln()(h_V + drop(dh))
+        dh = SplitMessageChain(self.num_hidden, reduce_sum=True,
+                               scale=self.scale)(h_V, h_E, h_V, nbr,
+                                                 mask_attend=mask_attend)
+        h_V = ln()(h_V + drop(dh.astype(h_V.dtype)))
         h_V = g1[:, None, :] * modulate(h_V, sh1, sc1)
 
         dh = PositionWiseFeedForward(self.num_hidden, self.num_hidden * 4)(h_V)
@@ -274,7 +294,7 @@ class EncLayerDiffusion(nn.Module):
             h_V = mask_V[..., None] * h_V
 
         h_message = SplitMessageChain(self.num_hidden)(h_V, h_E, h_V, nbr)
-        h_E = ln()(h_E + drop(h_message))
+        h_E = ln()(h_E + drop(h_message.astype(h_E.dtype)))
         h_E = g3[:, None, None, :] * modulate(h_E, sh3, sc3)
         return h_V, h_E
 
@@ -307,23 +327,26 @@ class DecLayerDiffusion(nn.Module):
         act = lambda x: jax.nn.gelu(x, approximate=False)
         H = self.num_hidden
 
-        d_s = nn.Dense(H, use_bias=False)
-        d_v = nn.Dense(H, use_bias=False)
-        # node-level blocks ([B,L,H]) are transformed then gathered; the
-        # masked-decoder path passes per-edge blocks ([B,L,K,H]) directly
         if s_node.ndim == 3 and v_node.ndim == 3:
-            nbr_term = gather_neighbors(d_s(s_node) + d_v(v_node), nbr)
+            # production path: node blocks concatenated -> one Dense inside
+            # the fused chain (equals the sum of per-block Denses)
+            dh = SplitMessageChain(H, reduce_sum=True, scale=self.scale)(
+                h_V, edge_pre, jnp.concatenate([s_node, v_node], axis=-1),
+                nbr, mask_attend=mask_attend)
         else:
+            # masked-decoder path: per-edge [B,L,K,H] blocks, explicit ops
+            d_s = nn.Dense(H, use_bias=False)
+            d_v = nn.Dense(H, use_bias=False)
             nbr_term = d_s(s_node if s_node.ndim == 4 else gather_neighbors(s_node, nbr))
             nbr_term = nbr_term + d_v(v_node if v_node.ndim == 4 else gather_neighbors(v_node, nbr))
-        pre = (nn.Dense(H)(h_V)[:, :, None, :]
-               + nn.Dense(H, use_bias=False)(edge_pre)
-               + nbr_term)
-        h_message = nn.Dense(H)(act(nn.Dense(H)(act(pre))))
-        if mask_attend is not None:
-            h_message = mask_attend[..., None] * h_message
-        dh = jnp.sum(h_message, axis=-2) / self.scale
-        h_V = ln()(h_V + drop(dh))
+            pre = (nn.Dense(H)(h_V)[:, :, None, :]
+                   + nn.Dense(H, use_bias=False)(edge_pre)
+                   + nbr_term)
+            h_message = nn.Dense(H)(act(nn.Dense(H)(act(pre))))
+            if mask_attend is not None:
+                h_message = mask_attend[..., None] * h_message
+            dh = jnp.sum(h_message, axis=-2) / self.scale
+        h_V = ln()(h_V + drop(dh.astype(h_V.dtype)))
         h_V = g1[:, None, :] * modulate(h_V, sh1, sc1)
 
         dh = PositionWiseFeedForward(self.num_hidden, self.num_hidden * 4)(h_V)
