@@ -63,6 +63,23 @@ def _load_vae(args):
 
     ckpt = CheckpointManager(args.vae_ckpt)
     cfg = ckpt.load_config()
+    if cfg.get("train_section") == "ivae":
+        from codlad_tpu.models.vae import GenZProt
+        model = GenZProt(
+            embed_dim=cfg.get("embed_dim", 36), n_rbf=cfg.get("n_rbf", 15),
+            dec_cutoff=cfg.get("cg_cutoff", 21.0),
+            dec_nconv=cfg.get("dec_nconv", 4), enc_nconv=cfg.get("enc_nconv", 3),
+            atom_cutoff=cfg.get("atom_cutoff", 9.0),
+            cg_cutoff=cfg.get("cg_cutoff", 21.0))
+        data = ShardDataset(args.data_dir, 1, shuffle=False)
+        first = {k: jnp.asarray(v) for k, v in next(iter(data)).items()}
+        rng = jax.random.PRNGKey(0)
+        params = model.init(rng, first, rng=rng)
+        state = create_train_state(params, optax.identity())
+        name = "best" if ckpt.exists("best") else "last"
+        state = ckpt.restore(state, name)
+        return model, state, cfg
+
     vae = VAE(mode=cfg.get("train_section", "vqvae"),
               embed_dim=cfg.get("embed_dim", 36), vqdim=cfg.get("vqdim", 3),
               predict_angle=cfg.get("predict_angle", False),
@@ -154,6 +171,29 @@ def main(argv=None):
         t0 = time.time()
         if args.experiment == "latent":
             agg = run_ensemble(pipeline, batch, args.num_ensemble, seed=args.seed)
+        elif args.experiment == "genzprot":
+            # decode latents sampled from the CG-conditioned prior
+            # (reference test.py:499,555: GenZProt C2 path)
+            from codlad_tpu.eval.harness import evaluate_structures
+            from codlad_tpu.geometry.internal import ic_to_xyz14
+            from codlad_tpu.models.vae import GenZProt
+
+            @jax.jit
+            def genz_sample(params, b, rng):
+                z, _, _ = vae.apply(params, b, rng,
+                                    method=GenZProt.get_latent_cg)
+                ic_recon = vae.apply(params, b, z, method=GenZProt.decode)
+                xyz14 = ic_to_xyz14(b["cg_xyz_og"], ic_recon, b["res_type"])
+                return ic_recon, xyz14
+
+            per = []
+            for sidx in range(args.num_ensemble):
+                ic_recon, xyz14 = genz_sample(
+                    vae_state.params, batch,
+                    jax.random.PRNGKey(args.seed + sidx))
+                per.append({k: float(v) for k, v in
+                            evaluate_structures(batch, ic_recon, xyz14).items()})
+            agg = {k: float(np.mean([m[k] for m in per])) for k in per[0]}
         else:
             from codlad_tpu.eval.harness import evaluate_structures
             h = pipeline.encode_latents(batch)

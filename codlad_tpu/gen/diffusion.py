@@ -277,7 +277,25 @@ class GaussianDiffusion:
             x_t = _wrap_pm1(x_t)
 
         rng, k_model = jax.random.split(rng)
-        model_output = model_fn(x_t, self.map_t(t), k_model)
+        if self.self_condition:
+            # 50% of steps: predict x_start once (no grad) and feed it back
+            # (reference gaussian_diffusion.py:627-634)
+            rng, k_sc, k_flag = jax.random.split(rng, 3)
+
+            def _make_sc(_):
+                out0 = model_fn(x_t, self.map_t(t), k_sc,
+                                x_self_cond=jnp.zeros_like(x_t))
+                pred = self.p_mean_variance(out0, x_t, t,
+                                            clip_denoised=False)["pred_xstart"]
+                return jax.lax.stop_gradient(pred)
+
+            x_self_cond = jax.lax.cond(
+                jax.random.bernoulli(k_flag), _make_sc,
+                lambda _: jnp.zeros_like(x_t), operand=None)
+            model_output = model_fn(x_t, self.map_t(t), k_model,
+                                    x_self_cond=x_self_cond)
+        else:
+            model_output = model_fn(x_t, self.map_t(t), k_model)
 
         terms = {}
         if self.var_type == "learned_range":

@@ -173,6 +173,32 @@ class MPNNDenoiser(nn.Module):
                             deterministic=deterministic,
                             decoding_rng=decoding_rng)
 
+    def forward_with_cfg(self, x, t, res_type, cg_xyz, mask, cfg_scale,
+                         deterministic=True):
+        """Classifier-free-guidance forward over a doubled batch.
+
+        The first half of the batch is conditioned, the second half carries
+        the unconditional surrogate; the mean prediction is combined as
+        uncond + cfg_scale * (cond - uncond) while the variance channels
+        pass through from the conditioned half.  The reference declares this
+        entry point but never defines it for the MPNN backbone (test.py:525
+        calls a method absent from latent_model.py) — here it WORKS: the
+        unconditional half uses residue-type id 0 everywhere (unknown
+        sequence), since conditioning is structural.
+        """
+        B = x.shape[0]
+        half = B // 2
+        uncond_res = jnp.zeros_like(res_type)
+        res_type = jnp.concatenate([res_type[:half], uncond_res[half:]], axis=0)
+        cond = self.compute_condition(res_type, cg_xyz, mask)
+        out = self.denoise(x, t, cond, deterministic=deterministic)
+        C = self.input_size
+        mean, rest = out[..., :C], out[..., C:]
+        cond_mean, uncond_mean = mean[:half], mean[half:]
+        guided = uncond_mean + cfg_scale * (cond_mean - uncond_mean)
+        mean = jnp.concatenate([guided, guided], axis=0)
+        return jnp.concatenate([mean, rest], axis=-1)
+
 
 def mpnn_diffusion(**kwargs):
     """The production Stage-2 config (reference latent_model.py:276-277)."""

@@ -133,9 +133,19 @@ def vqvae_loss_terms(batch, ic_recon, weights: LossWeights):
     return recon, metrics
 
 
+def _mask_gaussian_inputs(mask, mu, sigma):
+    """Replace padded positions with the standard normal BEFORE any ratio:
+    a masked-out `0 * term` cannot rescue an overflowed/NaN `term` (inf * 0
+    = NaN), so the inputs themselves must be neutral there."""
+    m = mask[..., None]
+    return jnp.where(m, mu, 0.0), jnp.where(m, sigma, 1.0)
+
+
 def kl_standard_normal(mu, sigma, mask=None):
     """KL(N(mu, sigma) || N(0, 1)) summed over channels, masked mean over
     residues (reference train_module.py:154-156)."""
+    if mask is not None:
+        mu, sigma = _mask_gaussian_inputs(mask, mu, sigma)
     kl = -0.5 * jnp.sum(1 + jnp.log(sigma**2 + 1e-20) - mu**2 - sigma**2, axis=-1)
     if mask is None:
         return kl.mean()
@@ -147,6 +157,9 @@ def kl_gaussians(mu1, sigma1, mu2, sigma2, mask=None):
     """KL between diagonal Gaussians, the GenZProt prior term (reference
     train_module.py:158-164, including its sigma2-not-squared quirk in the
     mean term)."""
+    if mask is not None:
+        mu1, sigma1 = _mask_gaussian_inputs(mask, mu1, sigma1)
+        mu2, sigma2 = _mask_gaussian_inputs(mask, mu2, sigma2)
     term = (
         (sigma1**2 / (sigma2**2 + 1e-20)).sum(-1)
         + ((mu1 - mu2) ** 2 / (sigma2 + 1e-20)).sum(-1)

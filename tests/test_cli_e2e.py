@@ -98,3 +98,27 @@ def test_pdb_roundtrip(workdir):
     assert parsed["res_type_og"].tolist() == res_type_og[1:-1].tolist()
     ca_written = xyz14[:, 3]  # CA slot of modeled residues
     np.testing.assert_allclose(parsed["cg_xyz_og"][0], ca_written, atol=2e-3)
+
+
+def test_genzprot_pipeline(workdir):
+    """ivae (GenZProt) training + genzprot sampling experiment."""
+    from codlad_tpu.cli import preprocess, test as test_cli, train_vqvae
+
+    shards_dir = str(workdir / "shards_gz")
+    preprocess.main(["--synthetic", "1", "12", "4", "--out_dir", shards_dir])
+
+    logdir = str(workdir / "genz")
+    train_vqvae.main([
+        "-data_dir", shards_dir, "-logdir", logdir, "-nepochs", "1",
+        "-batch_size", "2", "-enc_nconv", "2", "-dec_nconv", "2",
+        "-train_section", "ivae",
+    ])
+    out_dir = str(workdir / "eval_genz")
+    summary = test_cli.main([
+        "--experiment", "genzprot", "--vae_ckpt", logdir,
+        "--data_dir", shards_dir, "--out_dir", out_dir,
+        "--num_ensemble", "2", "--batch_size", "2",
+    ])
+    g = summary["__global__"]
+    import numpy as np
+    assert np.isfinite(g["rmsd"]) and np.isfinite(g["clash"])
