@@ -42,11 +42,13 @@ def flat_index(L: int):
 
 
 def _radius_edges(xyz_flat, valid, cutoff):
-    """Undirected (i<j) edges among valid flat atoms within cutoff."""
-    pos = np.where(valid[:, None], xyz_flat, _FAR * (1.0 + np.arange(len(valid), dtype=np.float64))[:, None])
-    d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
-    ii, jj = np.where((d <= cutoff) & (np.triu(np.ones_like(d, dtype=bool), k=1)))
-    return np.stack([ii, jj], axis=-1).astype(np.int32)
+    """Undirected (i<j) edges among valid flat atoms within cutoff.
+
+    Uses the native cell-list builder (O(N), codlad_tpu.native) with a
+    numpy O(N^2) fallback."""
+    from codlad_tpu import native
+
+    return native.radius_graph(xyz_flat, valid, cutoff)
 
 
 def bond_pairs(res_type, chain_id, order=2):

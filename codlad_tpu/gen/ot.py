@@ -47,10 +47,9 @@ def sinkhorn_plan(cost, reg=0.05, n_iters=100):
 
 
 def _lap_host(cost):
-    from scipy.optimize import linear_sum_assignment
+    from codlad_tpu.native import lap_solve
 
-    _, col = linear_sum_assignment(np.asarray(cost, dtype=np.float64))
-    return col.astype(np.int32)
+    return lap_solve(np.asarray(cost, dtype=np.float64))
 
 
 def exact_assignment(cost):
