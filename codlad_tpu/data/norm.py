@@ -37,3 +37,23 @@ def normalize(x, mean, std, norm_in=True):
     if norm_in:
         return (x - mean) / std
     return x * std + mean
+
+
+# dataname remap used by the reference for the IDRome test set
+# (reference utils/dataset_module.py:239-246)
+_IDROME_REMAP = {"N6": "PED", "K3": "PDB", "K4": "Atlas"}
+
+
+def load_reference_stats(miu_sigma_dir, feature_type="N6", dataname="PED"):
+    """Load the reference's torch-format channel stats
+    (datasets/miu_and_sigma/{dataname}_{type}_x_{mean,std}.pt) — drop-in
+    compatibility with published normalization constants."""
+    import torch
+
+    if dataname == "IDRome_test_7":
+        dataname = _IDROME_REMAP.get(feature_type, dataname)
+    mean = torch.load(os.path.join(miu_sigma_dir, f"{dataname}_{feature_type}_x_mean.pt"),
+                      map_location="cpu", weights_only=True)
+    std = torch.load(os.path.join(miu_sigma_dir, f"{dataname}_{feature_type}_x_std.pt"),
+                     map_location="cpu", weights_only=True)
+    return np.asarray(mean, dtype=np.float32), np.asarray(std, dtype=np.float32)

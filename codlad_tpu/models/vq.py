@@ -91,6 +91,59 @@ def vq_quantize(state: VQState, z, mask=None, *, train=False, decay=0.99,
     return z_q, idx.reshape(z.shape[:-1]), commit_loss, new_state
 
 
+def vq_quantize_cosine(state: VQState, z, mask=None, *, train=False,
+                       decay=0.99, commitment_weight=0.25, epsilon=1e-5):
+    """Cosine-similarity VQ (reference 'low_cosvq_3'/'low3_num16_gumble_cos'
+    variants, utils/vq_module.py:145-160): codes and inputs are L2-normalized
+    for the nearest-neighbor search and the codebook lives on the sphere."""
+    state = jax.tree.map(jnp.asarray, state)
+    norm = lambda v: v / jnp.maximum(
+        jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+    sphere = VQState(codebook=norm(state.codebook),
+                     cluster_size=state.cluster_size,
+                     embed_avg=state.embed_avg)
+    zn = norm(z)
+    zq, idx, loss, new_state = vq_quantize(
+        sphere, zn, mask, train=train, decay=decay,
+        commitment_weight=commitment_weight, epsilon=epsilon)
+    if train:
+        new_state = new_state.replace(codebook=norm(new_state.codebook))
+    # straight-through against the ORIGINAL (unnormalized) input
+    return z + jax.lax.stop_gradient(zq - z), idx, loss, new_state
+
+
+def vq_sample_stochastic(rng, state: VQState, z, temperature=1.0):
+    """Gumbel/stochastic code sampling (reference stochastic_sample_codes):
+    sample indices ~ softmax(-d^2 / temperature). Returns (z_q, idx)."""
+    state = jax.tree.map(jnp.asarray, state)
+    D = z.shape[-1]
+    z_flat = z.reshape(-1, D)
+    dist = (jnp.sum(z_flat**2, -1, keepdims=True)
+            - 2 * z_flat @ state.codebook.T
+            + jnp.sum(state.codebook**2, -1)[None])
+    idx = jax.random.categorical(rng, -dist / max(temperature, 1e-6), axis=-1)
+    zq = state.codebook[idx].reshape(z.shape)
+    return z + jax.lax.stop_gradient(zq - z), idx.reshape(z.shape[:-1])
+
+
+def expire_dead_codes(rng, state: VQState, z, mask=None, threshold=2.0):
+    """Replace codes with EMA cluster size below threshold by random batch
+    vectors (reference 'Expiring_stalevq', utils/vq_module.py:122-127)."""
+    state = jax.tree.map(jnp.asarray, state)
+    D = z.shape[-1]
+    z_flat = z.reshape(-1, D)
+    n_codes = state.codebook.shape[0]
+    pick = jax.random.randint(rng, (n_codes,), 0, z_flat.shape[0])
+    replacements = z_flat[pick]
+    dead = state.cluster_size < threshold
+    codebook = jnp.where(dead[:, None], replacements, state.codebook)
+    cluster_size = jnp.where(dead, threshold, state.cluster_size)
+    embed_avg = jnp.where(dead[:, None], replacements * threshold,
+                          state.embed_avg)
+    return VQState(codebook=codebook, cluster_size=cluster_size,
+                   embed_avg=embed_avg)
+
+
 # ---------------------------------------------------------------------------
 # FSQ (finite scalar quantization), levels like [7, 5, 5, 5, 5]
 # (reference config: utils/vq_module.py:118-121)

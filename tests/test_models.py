@@ -217,3 +217,27 @@ def test_self_conditioning_training_losses(small_batch):
     # sampling with self-conditioning runs
     s = d.p_sample_loop_host(jax.random.PRNGKey(3), model_fn, (Bsz, L, 3))
     assert np.isfinite(np.asarray(s)).all()
+
+
+def test_vq_variants():
+    from codlad_tpu.models.vq import (
+        expire_dead_codes, vq_init, vq_quantize_cosine, vq_sample_stochastic)
+
+    rng = jax.random.PRNGKey(0)
+    state = vq_init(rng, 32, 4)
+    z = jax.random.normal(jax.random.PRNGKey(1), (3, 8, 4))
+    mask = jnp.ones((3, 8), bool)
+
+    zq, idx, loss, st = vq_quantize_cosine(state, z, mask, train=True)
+    assert zq.shape == z.shape and np.isfinite(float(loss))
+    norms = np.linalg.norm(np.asarray(st.codebook), axis=-1)
+    np.testing.assert_allclose(norms, np.ones(32), atol=1e-5)
+
+    zq2, idx2 = vq_sample_stochastic(jax.random.PRNGKey(2), state, z, 0.5)
+    assert zq2.shape == z.shape and idx2.shape == (3, 8)
+
+    st2 = expire_dead_codes(jax.random.PRNGKey(3), state, z)
+    # all initial codes are dead (cluster_size 0) -> replaced by batch rows
+    flat = np.asarray(z).reshape(-1, 4)
+    for row in np.asarray(st2.codebook):
+        assert (np.abs(flat - row).sum(-1) < 1e-5).any()
