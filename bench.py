@@ -49,7 +49,7 @@ def main():
     model = mpnn_diffusion(input_size=3, learn_sigma=True, dropout=0.0)
     # init at tiny shapes (params are batch/length independent; full-shape
     # init would eagerly execute the whole forward)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 3)),
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 16, 3)),
                         jnp.zeros((1,), jnp.int32), res_type[:1, :16],
                         cg[:1, :16], mask[:1, :16])
     diffusion = create_diffusion(f"ddim{DENOISE_STEPS}", diffusion_steps=1000,

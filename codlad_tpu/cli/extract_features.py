@@ -55,7 +55,7 @@ def main(argv=None):
     data = ShardDataset(args.data_dir, args.batch_size, shuffle=False)
     first = {k: jnp.asarray(v) for k, v in next(iter(data)).items()}
     rng = jax.random.PRNGKey(0)
-    params = vae.init(rng, first)
+    params = jax.jit(vae.init)(rng, first)
     vq_state = (vq_init(rng, cfg.get("codebook_size", 4096), cfg.get("vqdim", 3))
                 if cfg.get("train_section", "vqvae") == "vqvae" else None)
     state = create_train_state(params, optax.identity(), vq_state=vq_state)

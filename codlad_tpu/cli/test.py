@@ -74,7 +74,7 @@ def _load_vae(args):
         data = ShardDataset(args.data_dir, 1, shuffle=False)
         first = {k: jnp.asarray(v) for k, v in next(iter(data)).items()}
         rng = jax.random.PRNGKey(0)
-        params = model.init(rng, first, rng=rng)
+        params = jax.jit(lambda r, b: model.init(r, b, rng=r))(rng, first)
         state = create_train_state(params, optax.identity())
         name = "best" if ckpt.exists("best") else "last"
         state = ckpt.restore(state, name)
@@ -90,7 +90,7 @@ def _load_vae(args):
     data = ShardDataset(args.data_dir, 1, shuffle=False)
     first = {k: jnp.asarray(v) for k, v in next(iter(data)).items()}
     rng = jax.random.PRNGKey(0)
-    params = vae.init(rng, first)
+    params = jax.jit(vae.init)(rng, first)
     vq_state = (vq_init(rng, cfg.get("codebook_size", 4096), cfg.get("vqdim", 3))
                 if cfg.get("train_section", "vqvae") == "vqvae" else None)
     state = create_train_state(params, optax.identity(), vq_state=vq_state)
@@ -137,7 +137,7 @@ def main(argv=None):
         data0 = ShardDataset(args.data_dir, 1, shuffle=False)
         first = {k: jnp.asarray(v) for k, v in next(iter(data0)).items()}
         B0, L0 = first["res_type"].shape
-        params = denoiser.init(
+        params = jax.jit(denoiser.init)(
             jax.random.PRNGKey(0), jnp.zeros((B0, L0, latent_size)),
             jnp.zeros((B0,), jnp.int32), first["res_type"],
             first["cg_xyz_og"][:, 1:-1], first["res_mask"])

@@ -133,7 +133,7 @@ def main(argv=None):
 
     first = next(iter(val))
     rng = jax.random.PRNGKey(args.seed)
-    params = model.init(
+    params = jax.jit(model.init)(
         rng, jnp.asarray(first["x1"]), jnp.zeros((first["x1"].shape[0],), jnp.int32),
         jnp.asarray(first["res_type"]), jnp.asarray(first["cg_xyz"]),
         jnp.asarray(first["mask"]))

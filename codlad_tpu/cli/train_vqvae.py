@@ -103,13 +103,13 @@ def main(argv=None):
     first = {k: jnp.asarray(v) for k, v in next(iter(val_data)).items()}
     if genzprot:
         model = GenZProt(**common)
-        params = model.init(rng, first, rng=rng)
+        params = jax.jit(lambda r, b: model.init(r, b, rng=r))(rng, first)
         train_step, eval_step = make_genzprot_step(model, beta=args.beta)
         vq_state = None
     else:
         model = VAE(mode=args.train_section, vqdim=args.vqdim,
                     predict_angle=args.predict_angle, **common)
-        params = model.init(rng, first)
+        params = jax.jit(model.init)(rng, first)
         train_step, eval_step = make_vqvae_step(
             model, vq_decay=args.codebook_ema_decay,
             commitment_weight=args.codebook_temp)
