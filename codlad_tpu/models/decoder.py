@@ -19,8 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from codlad_tpu.geometry import residues as R
-from codlad_tpu.models.encoder import flatten_edges, make_directed
 from codlad_tpu.nn.basis import ACTIVATIONS, InvariantMessage
+from codlad_tpu.nn.graph import make_directed_batched, make_edge_ops
 
 
 class _MLP2(nn.Module):
@@ -57,22 +57,21 @@ class _ICDecoderBase(nn.Module):
         F = self.n_atom_basis + self.res_embed_dim
 
         cg_xyz = batch["cg_xyz_og"][:, 1:-1]
-        c_edges, c_mask = make_directed(batch["cg_edges"], batch["cg_edges_mask"])
-        c_src, c_dst, c_maskf = flatten_edges(c_edges, c_mask, L)
-        cg_flat = cg_xyz.reshape(B * L, 3)
-        r_ij = cg_flat[c_dst] - cg_flat[c_src]
+        c_edges, c_mask = make_directed_batched(batch["cg_edges"],
+                                                batch["cg_edges_mask"])
+        ops = make_edge_ops(c_edges, c_mask, L)
+        r_ij = ops.gather_dst(cg_xyz) - ops.gather_src(cg_xyz)
         dist = jnp.sqrt(jnp.sum(r_ij * r_ij, axis=-1) + 1e-8)
 
         bb_dist = nn.Embed(25, 3)(res_type)[..., None]       # [B, L, 3, 1]
         sc_dist = nn.Embed(25, 10)(res_type)[..., None]      # [B, L, 10, 1]
 
         s = jnp.concatenate([latents, nn.Embed(25, self.res_embed_dim)(res_type)], axis=-1)
-        s = (s * res_mask[..., None]).reshape(B * L, F)
+        s = s * res_mask[..., None]
 
         for _ in range(self.num_conv):
-            msg = InvariantMessage(F, F, self.n_rbf, self.cutoff)(s, dist, c_dst)
-            msg = jnp.where(c_maskf[:, None], msg, 0.0)
-            v = jax.ops.segment_sum(msg, c_src, num_segments=B * L)
+            msg = InvariantMessage(F, F, self.n_rbf, self.cutoff)(s, dist, ops)
+            v = ops.aggregate_to_src(msg, reduce="sum")
             s = s + _MLP2(F, F, self.activation)(v)
 
         bb_angle = _MLP2(3, 3, self.activation)(s)
@@ -84,16 +83,11 @@ class _ICDecoderBase(nn.Module):
             for _ in range(self.num_conv):
                 sc_s = sc_s + _MLP2(F + 10, F + 10, self.activation)(sc_s)
             sc_torsion = _MLP2(10, 10, self.activation)(sc_s)
-            sc_angle = sc_angle.reshape(B, L, 10)
         else:
             sc_angle = nn.Embed(25, 10)(res_type)            # [B, L, 10]
             for _ in range(self.num_conv):
                 s = s + _MLP2(F, F, self.activation)(s)
             sc_torsion = _MLP2(10, 10, self.activation)(s)
-
-        bb_angle = bb_angle.reshape(B, L, 3)
-        bb_torsion = bb_torsion.reshape(B, L, 3)
-        sc_torsion = sc_torsion.reshape(B, L, 10)
 
         ic_bb = jnp.concatenate(
             [bb_dist, bb_angle[..., None], bb_torsion[..., None]], axis=-1)

@@ -3,8 +3,10 @@
 TPU-first port of the reference Stage-1 encoder (reference:
 models/vae_model.py:21-204 `e3nnEncoder`): three interleaved graphs —
 
-  * atom radius graph (padded edge list, segment-sum aggregation),
-  * CG radius graph (padded edge list over residues),
+  * atom radius graph (per-sample padded edge list; gathers/aggregation as
+    one-hot MXU contractions, see nn/graph.py — TPU row gathers and
+    scatter-add backwards are serial at these edge counts),
+  * CG radius graph,
   * atom<->CG cross graph — which in the atom14 layout is DENSE: every atom
     couples to exactly its own residue site, so the cross convolutions
     become per-slot tensor products and the atom->CG aggregation is a
@@ -23,6 +25,7 @@ import jax.numpy as jnp
 
 from codlad_tpu.geometry import residues as R
 from codlad_tpu.nn.basis import GaussianSmearing
+from codlad_tpu.nn.graph import make_directed_batched, make_edge_ops
 from codlad_tpu.nn.irreps import Irreps, sh_l2
 from codlad_tpu.nn.tensor_product import FullyConnectedTP, TPConv
 
@@ -34,20 +37,6 @@ def irrep_ladder(ns, nv):
         Irreps(f"{ns}x0e + {nv}x1o + {nv}x1e"),
         Irreps(f"{ns}x0e + {nv}x1o + {nv}x1e + {ns}x0o"),
     ]
-
-
-def make_directed(edges, mask):
-    """[B, E, 2] one-way edges -> [B, 2E, 2] both directions."""
-    rev = edges[..., ::-1]
-    return jnp.concatenate([edges, rev], axis=1), jnp.concatenate([mask, mask], axis=1)
-
-
-def flatten_edges(edges, mask, nodes_per_sample):
-    """[B, E, 2] -> global flat (src, dst, mask) with per-sample offsets."""
-    B = edges.shape[0]
-    offs = (jnp.arange(B) * nodes_per_sample)[:, None, None]
-    e = (edges + offs).reshape(-1, 2)
-    return e[:, 0], e[:, 1], mask.reshape(-1)
 
 
 class EdgeEmbed(nn.Module):
@@ -75,7 +64,7 @@ class E3Encoder(nn.Module):
     @nn.compact
     def __call__(self, batch):
         """batch: padded dict (see data/batch.py). Returns [B, L,
-        n_atom_basis] per-residue invariant latents + validity mask."""
+        n_atom_basis] per-residue invariant latents."""
         res_type = batch["res_type"]
         B, L = res_type.shape
         NA = L * R.MAX_ATOMS
@@ -89,47 +78,46 @@ class E3Encoder(nn.Module):
         cg_xyz = batch["cg_xyz_og"][:, 1:-1]                          # [B, L, 3]
         res_mask = batch["res_mask"]
 
-        xyz_flat = xyz.reshape(B * NA, 3)
+        xyz_a = xyz.reshape(B, NA, 3)
         zf = (atom_z * atom_mask).reshape(B, NA)
 
-        # ---- atom graph
-        a_edges, a_mask = make_directed(batch["atom_edges"], batch["atom_edges_mask"])
-        a_src, a_dst, a_maskf = flatten_edges(a_edges, a_mask, NA)
-        r_ij = xyz_flat[a_dst] - xyz_flat[a_src]
+        # ---- atom graph (edge ops built once, reused by every layer)
+        a_edges, a_mask = make_directed_batched(batch["atom_edges"],
+                                                batch["atom_edges_mask"])
+        a_ops = make_edge_ops(a_edges, a_mask, NA)
+        r_ij = a_ops.gather_dst(xyz_a) - a_ops.gather_src(xyz_a)
         atom_sh = sh_l2(r_ij)
-        zf_flat = zf.reshape(-1)
+        zf_e = zf[..., None].astype(xyz.dtype)
         a_attr = jnp.concatenate([
-            zf_flat[a_src, None].astype(xyz.dtype),
-            zf_flat[a_dst, None].astype(xyz.dtype),
-            jnp.zeros((a_src.shape[0], self.in_edge_features), xyz.dtype),
+            a_ops.gather_src(zf_e), a_ops.gather_dst(zf_e),
+            jnp.zeros(r_ij.shape[:2] + (self.in_edge_features,), xyz.dtype),
             GaussianSmearing(0.0, self.atom_max_radius, self.distance_embed_dim)(
-                jnp.linalg.norm(r_ij, axis=-1)),
+                jnp.sqrt((r_ij**2).sum(-1) + 1e-12)),
         ], axis=-1)
         a_attr = EdgeEmbed(ns)(a_attr)
-        atom_feat = nn.Embed(30, ns)(zf.astype(jnp.int32)).reshape(B * NA, ns)
-        atom_feat = atom_feat * atom_mask.reshape(-1, 1)
+        atom_feat = nn.Embed(30, ns)(zf.astype(jnp.int32))            # [B, NA, ns]
+        atom_feat = atom_feat * atom_mask.reshape(B, NA, 1)
 
         # ---- CG graph
-        c_edges, c_mask = make_directed(batch["cg_edges"], batch["cg_edges_mask"])
-        c_src, c_dst, c_maskf = flatten_edges(c_edges, c_mask, L)
-        cg_flat = cg_xyz.reshape(B * L, 3)
-        r_IJ = cg_flat[c_dst] - cg_flat[c_src]
+        c_edges, c_mask = make_directed_batched(batch["cg_edges"],
+                                                batch["cg_edges_mask"])
+        c_ops = make_edge_ops(c_edges, c_mask, L)
+        r_IJ = c_ops.gather_dst(cg_xyz) - c_ops.gather_src(cg_xyz)
         cg_sh = sh_l2(r_IJ)
-        cgz_flat = res_type.reshape(-1)
+        cgz_e = res_type[..., None].astype(xyz.dtype)
         c_attr = jnp.concatenate([
-            cgz_flat[c_src, None].astype(xyz.dtype),
-            cgz_flat[c_dst, None].astype(xyz.dtype),
-            jnp.zeros((c_src.shape[0], self.in_edge_features), xyz.dtype),
+            c_ops.gather_src(cgz_e), c_ops.gather_dst(cgz_e),
+            jnp.zeros(r_IJ.shape[:2] + (self.in_edge_features,), xyz.dtype),
             GaussianSmearing(0.0, self.cg_max_radius, self.distance_embed_dim)(
-                jnp.linalg.norm(r_IJ, axis=-1)),
+                jnp.sqrt((r_IJ**2).sum(-1) + 1e-12)),
         ], axis=-1)
         c_attr = EdgeEmbed(ns)(c_attr)
-        cg_feat = nn.Embed(30, ns)(res_type).reshape(B * L, ns)
-        cg_feat = cg_feat * res_mask.reshape(-1, 1)
+        cg_feat = nn.Embed(30, ns)(res_type)                          # [B, L, ns]
+        cg_feat = cg_feat * res_mask[..., None]
 
         # ---- cross graph: dense atom <-> own-residue site
         r_iI = xyz - cg_xyz[:, :, None, :]                            # [B, L, 14, 3]
-        cross_sh = sh_l2(r_iI)                                        # [B, L, 14, 9]
+        cross_sh = sh_l2(r_iI)
         cross_attr = GaussianSmearing(0.0, self.cross_max_distance,
                                       self.cross_distance_embed_dim)(
             jnp.linalg.norm(r_iI, axis=-1))
@@ -145,54 +133,54 @@ class E3Encoder(nn.Module):
 
             # atom intra-graph messages
             a_attr_full = jnp.concatenate(
-                [a_attr, atom_feat[a_src, :ns], atom_feat[a_dst, :ns]], axis=-1)
-            atom_intra = TPConv(**conv)(atom_feat, a_src, a_dst, a_attr_full,
-                                        atom_sh, a_maskf)
+                [a_attr, a_ops.gather_src(atom_feat[..., :ns]),
+                 a_ops.gather_dst(atom_feat[..., :ns])], axis=-1)
+            atom_intra = TPConv(**conv)(atom_feat, a_ops, a_attr_full, atom_sh)
 
             # CG -> atom cross messages (dense: one CG parent per atom)
-            cg_feat_blk = cg_feat.reshape(B, L, -1)
+            af4 = atom_feat.reshape(B, L, R.MAX_ATOMS, -1)
             cross_full = jnp.concatenate([
                 cross_attr,
-                atom_feat.reshape(B, L, R.MAX_ATOMS, -1)[..., :ns],
-                jnp.broadcast_to(cg_feat_blk[:, :, None, :ns],
+                af4[..., :ns],
+                jnp.broadcast_to(cg_feat[:, :, None, :ns],
                                  (B, L, R.MAX_ATOMS, ns)),
             ], axis=-1)
             tp_c2a = FullyConnectedTP(tuple(in_ir), tuple(sh_ir), tuple(out_ir))
             hidden = 3 * ns
             w = nn.Dense(tp_c2a.weight_numel)(nn.relu(nn.Dense(hidden)(cross_full)))
             atom_inter = tp_c2a(
-                jnp.broadcast_to(cg_feat_blk[:, :, None, :],
-                                 (B, L, R.MAX_ATOMS, cg_feat_blk.shape[-1])),
+                jnp.broadcast_to(cg_feat[:, :, None, :],
+                                 (B, L, R.MAX_ATOMS, cg_feat.shape[-1])),
                 cross_sh, w)
-            atom_inter = (atom_inter * amask_f[..., None]).reshape(B * NA, -1)
+            atom_inter = (atom_inter * amask_f[..., None]).reshape(B, NA, -1)
 
             if l != self.num_conv_layers - 1:
                 c_attr_full = jnp.concatenate(
-                    [c_attr, cg_feat[c_src, :ns], cg_feat[c_dst, :ns]], axis=-1)
-                cg_intra = TPConv(**conv)(cg_feat, c_src, c_dst, c_attr_full,
-                                          cg_sh, c_maskf)
+                    [c_attr, c_ops.gather_src(cg_feat[..., :ns]),
+                     c_ops.gather_dst(cg_feat[..., :ns])], axis=-1)
+                cg_intra = TPConv(**conv)(cg_feat, c_ops, c_attr_full, cg_sh)
                 # atom -> CG: masked mean over the residue's atom slots
                 tp_a2c = FullyConnectedTP(tuple(in_ir), tuple(sh_ir), tuple(out_ir))
                 w2 = nn.Dense(tp_a2c.weight_numel)(nn.relu(nn.Dense(hidden)(cross_full)))
-                msg_a2c = tp_a2c(atom_feat.reshape(B, L, R.MAX_ATOMS, -1),
-                                 cross_sh, w2)
+                msg_a2c = tp_a2c(af4, cross_sh, w2)
                 msg_a2c = msg_a2c * amask_f[..., None]
                 denom = jnp.maximum(amask_f.sum(-1, keepdims=True), 1.0)
-                cg_inter = (msg_a2c.sum(2) / denom).reshape(B * L, -1)
+                cg_inter = msg_a2c.sum(2) / denom
 
             pad = atom_intra.shape[-1] - atom_feat.shape[-1]
-            atom_feat = jnp.pad(atom_feat, ((0, 0), (0, pad))) + atom_intra + atom_inter
+            atom_feat = jnp.pad(atom_feat, ((0, 0), (0, 0), (0, pad))) \
+                + atom_intra + atom_inter
 
             if l != self.num_conv_layers - 1:
                 padc = cg_intra.shape[-1] - cg_feat.shape[-1]
-                cg_feat = jnp.pad(cg_feat, ((0, 0), (0, padc))) + cg_intra + cg_inter
+                cg_feat = jnp.pad(cg_feat, ((0, 0), (0, 0), (0, padc))) \
+                    + cg_intra + cg_inter
 
         # readout: concat atom features with their residue's CG features,
         # residue-mean, project (reference vae_model.py:161-164)
-        atom_feat = atom_feat.reshape(B, L, R.MAX_ATOMS, -1)
-        cg_feat = cg_feat.reshape(B, L, -1)
+        af4 = atom_feat.reshape(B, L, R.MAX_ATOMS, -1)
         node = jnp.concatenate([
-            atom_feat,
+            af4,
             jnp.broadcast_to(cg_feat[:, :, None, :],
                              (B, L, R.MAX_ATOMS, cg_feat.shape[-1])),
         ], axis=-1)

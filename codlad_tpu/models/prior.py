@@ -12,9 +12,10 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from codlad_tpu.nn.basis import GaussianSmearing
+from codlad_tpu.nn.graph import make_directed_batched, make_edge_ops
 from codlad_tpu.nn.irreps import Irreps, sh_l2
 from codlad_tpu.nn.tensor_product import TPConv
-from codlad_tpu.models.encoder import EdgeEmbed, flatten_edges, irrep_ladder, make_directed
+from codlad_tpu.models.encoder import EdgeEmbed, irrep_ladder
 
 
 class CGPrior(nn.Module):
@@ -36,34 +37,33 @@ class CGPrior(nn.Module):
         ladder = irrep_ladder(ns, self.nv)
 
         cg_xyz = batch["cg_xyz_og"][:, 1:-1]
-        c_edges, c_mask = make_directed(batch["cg_edges"], batch["cg_edges_mask"])
-        c_src, c_dst, c_maskf = flatten_edges(c_edges, c_mask, L)
-        cg_flat = cg_xyz.reshape(B * L, 3)
-        r_IJ = cg_flat[c_dst] - cg_flat[c_src]
+        c_edges, c_mask = make_directed_batched(batch["cg_edges"],
+                                                batch["cg_edges_mask"])
+        ops = make_edge_ops(c_edges, c_mask, L)
+        r_IJ = ops.gather_dst(cg_xyz) - ops.gather_src(cg_xyz)
         cg_sh = sh_l2(r_IJ)
-        zf = res_type.reshape(-1)
+        cgz_e = res_type[..., None].astype(cg_xyz.dtype)
         attr = jnp.concatenate([
-            zf[c_src, None].astype(cg_xyz.dtype),
-            zf[c_dst, None].astype(cg_xyz.dtype),
-            jnp.zeros((c_src.shape[0], self.in_edge_features), cg_xyz.dtype),
+            ops.gather_src(cgz_e), ops.gather_dst(cgz_e),
+            jnp.zeros(r_IJ.shape[:2] + (self.in_edge_features,), cg_xyz.dtype),
             GaussianSmearing(0.0, self.cg_max_radius, self.distance_embed_dim)(
-                jnp.linalg.norm(r_IJ, axis=-1)),
+                jnp.sqrt((r_IJ**2).sum(-1) + 1e-12)),
         ], axis=-1)
         attr = EdgeEmbed(ns)(attr)
-        feat = nn.Embed(30, ns)(res_type).reshape(B * L, ns)
-        feat = feat * res_mask.reshape(-1, 1)
+        feat = nn.Embed(30, ns)(res_type)
+        feat = feat * res_mask[..., None]
 
         for l in range(self.num_conv_layers):
             in_ir, out_ir = ladder[min(l, 3)], ladder[min(l + 1, 3)]
-            attr_full = jnp.concatenate([attr, feat[c_src, :ns], feat[c_dst, :ns]], axis=-1)
+            attr_full = jnp.concatenate(
+                [attr, ops.gather_src(feat[..., :ns]),
+                 ops.gather_dst(feat[..., :ns])], axis=-1)
             update = TPConv(in_irreps=tuple(in_ir), sh_irreps=tuple(sh_ir),
                             out_irreps=tuple(out_ir), n_edge_features=3 * ns,
                             hidden_features=3 * ns, residual=False)(
-                feat, c_src, c_dst, attr_full, cg_sh, c_maskf)
+                feat, ops, attr_full, cg_sh)
             pad = update.shape[-1] - feat.shape[-1]
-            feat = jnp.pad(feat, ((0, 0), (0, pad))) + update
-
-        feat = feat.reshape(B, L, -1)
+            feat = jnp.pad(feat, ((0, 0), (0, 0), (0, pad))) + update
 
         def head(x):
             h = nn.Dense(self.n_atom_basis)(x)

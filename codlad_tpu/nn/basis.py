@@ -71,10 +71,10 @@ class DistanceEmbed(nn.Module):
 
 
 class InvariantMessage(nn.Module):
-    """phi(s_j) * W(d_ij) over a padded edge list.
+    """phi(s_j) * W(d_ij) over a per-sample padded edge list.
 
-    Call with node scalars [N, F], per-edge distances [E], and the edge
-    destination indices [E]; returns per-edge messages [E, F_out].
+    Call with node scalars [B, N, F], per-edge distances [B, E], and an
+    EdgeOps (nn/graph.py); returns per-edge messages [B, E, F_out].
     """
 
     in_feat_dim: int
@@ -83,9 +83,9 @@ class InvariantMessage(nn.Module):
     cutoff: float
 
     @nn.compact
-    def __call__(self, s, dist, edge_dst):
+    def __call__(self, s, dist, ops):
         phi = nn.Dense(self.in_feat_dim)(s)
         phi = swish(phi)
         phi = nn.Dense(self.out_feat_dim)(phi)
         w_s = DistanceEmbed(self.n_rbf, self.cutoff, self.out_feat_dim)(dist)
-        return phi[edge_dst] * w_s
+        return ops.gather_dst(phi) * w_s

@@ -1,0 +1,114 @@
+"""Edge gather/aggregate operators for flat padded edge lists.
+
+TPU XLA row gathers and scatter-adds over tens of thousands of edges are
+effectively serial (hundreds of ms at Stage-1 sizes); expressing them as
+block-diagonal one-hot contractions turns both directions — and, crucially,
+their GRADIENTS — into batched MXU matmuls.
+
+`make_edge_ops` builds per-sample selection matrices once per step (shared
+across all conv layers and both the forward and backward pass); above a
+memory threshold it falls back to gather/segment ops so arbitrarily large
+graphs still work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseEdgeOps:
+    """One-hot contraction operators. src_oh/dst_oh: [B, E, N] (masked)."""
+
+    src_oh: Any
+    dst_oh: Any
+    mask: Any  # [B, E] float
+
+    # One-hot entries are exact in bf16; HIGHEST precision makes the value
+    # operand f32-accurate (3-pass), so a gather is numerically a real
+    # gather — coordinates must not be truncated to bf16.
+    _PREC = jax.lax.Precision.HIGHEST
+
+    def gather_src(self, nodes):
+        """nodes [B, N, F] -> per-edge features [B, E, F] (0 where masked)."""
+        out = jnp.einsum("ben,bnf->bef", self.src_oh, nodes,
+                         precision=self._PREC,
+                         preferred_element_type=jnp.float32)
+        return out.astype(nodes.dtype)
+
+    def gather_dst(self, nodes):
+        out = jnp.einsum("ben,bnf->bef", self.dst_oh, nodes,
+                         precision=self._PREC,
+                         preferred_element_type=jnp.float32)
+        return out.astype(nodes.dtype)
+
+    def aggregate_to_src(self, msgs, reduce="sum"):
+        """msgs [B, E, F] -> [B, N, F] summed (or averaged) over incoming
+        edges; masked edges contribute nothing."""
+        msgs = msgs * self.mask[..., None].astype(msgs.dtype)
+        out = jnp.einsum("ben,bef->bnf", self.src_oh, msgs,
+                         precision=self._PREC,
+                         preferred_element_type=jnp.float32).astype(msgs.dtype)
+        if reduce == "mean":
+            deg = jnp.einsum("ben->bn", self.src_oh)
+            out = out / jnp.maximum(deg[..., None], 1.0).astype(msgs.dtype)
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseEdgeOps:
+    """Gather/segment fallback for graphs too large for dense one-hots."""
+
+    edges: Any  # [B, E, 2]
+    mask: Any   # [B, E] float
+    n_nodes: int
+
+    def _gather(self, nodes, which):
+        idx = self.edges[..., which]
+        out = jnp.take_along_axis(nodes, idx[..., None], axis=1)
+        return out * self.mask[..., None].astype(nodes.dtype)
+
+    def gather_src(self, nodes):
+        return self._gather(nodes, 0)
+
+    def gather_dst(self, nodes):
+        return self._gather(nodes, 1)
+
+    def aggregate_to_src(self, msgs, reduce="sum"):
+        B, E, F = msgs.shape
+        msgs = msgs * self.mask[..., None].astype(msgs.dtype)
+        offs = (jnp.arange(B) * self.n_nodes)[:, None]
+        seg = (self.edges[..., 0] + offs).reshape(-1)
+        out = jax.ops.segment_sum(msgs.reshape(B * E, F), seg,
+                                  num_segments=B * self.n_nodes)
+        out = out.reshape(B, self.n_nodes, F)
+        if reduce == "mean":
+            deg = jax.ops.segment_sum(self.mask.reshape(-1).astype(msgs.dtype),
+                                      seg, num_segments=B * self.n_nodes)
+            out = out / jnp.maximum(deg.reshape(B, self.n_nodes, 1), 1.0)
+        return out
+
+
+def make_edge_ops(edges, mask, n_nodes, dtype=jnp.bfloat16,
+                  dense_limit_bytes=3 * 2**30):
+    """edges [B, E, 2] int, mask [B, E] bool; n_nodes per sample."""
+    B, E, _ = edges.shape
+    maskf = mask.astype(jnp.float32)
+    bytes_needed = 2 * B * E * n_nodes * jnp.dtype(dtype).itemsize
+    if bytes_needed <= dense_limit_bytes:
+        m = maskf.astype(dtype)[..., None]
+        src_oh = jax.nn.one_hot(edges[..., 0], n_nodes, dtype=dtype) * m
+        dst_oh = jax.nn.one_hot(edges[..., 1], n_nodes, dtype=dtype) * m
+        return DenseEdgeOps(src_oh=src_oh, dst_oh=dst_oh, mask=maskf)
+    return SparseEdgeOps(edges=edges, mask=maskf, n_nodes=n_nodes)
+
+
+def make_directed_batched(edges, mask):
+    """[B, E, 2] one-way edges -> [B, 2E, 2] both directions."""
+    rev = edges[..., ::-1]
+    return (jnp.concatenate([edges, rev], axis=1),
+            jnp.concatenate([mask, mask], axis=1))
