@@ -52,6 +52,8 @@ def build_parser():
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--model_ckpt", type=str, default=None,
+                   help="warm-start weights from this checkpoint dir (no optimizer/step)")
     p.add_argument("--dropout", type=float, default=0.6)
     return p
 
@@ -163,6 +165,12 @@ def main(argv=None):
     if args.resume and ckpt.exists("last"):
         state = ckpt.restore(state, "last")
         logger.info(f"resumed at step {int(state.step)}")
+    elif args.model_ckpt:
+        warm = CheckpointManager(args.model_ckpt)
+        name = "best" if warm.exists("best") else "last"
+        loaded = warm.restore(state, name, load_opt=False)
+        state = state.replace(params=loaded.params, ema_params=loaded.ema_params)
+        logger.info(f"warm-started weights from {args.model_ckpt}/{name}")
     state = mesh_mod.replicate(state, mesh)
 
     train_steps = int(state.step)

@@ -52,17 +52,29 @@ def _use_pallas():
 # reference implementations (ground truth + backward + non-TPU fallback)
 
 
-def _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3):
+def _gather_nbr(Gn, idx, onehot=None):
+    """Neighbor gather; uses the one-hot contraction when available (its
+    gradient is a matmul — take_along_axis backward is a serial TPU
+    scatter-add)."""
+    B, L, H = Gn.shape
+    K = idx.shape[-1]
+    if onehot is not None:
+        out = jnp.einsum("bnl,blh->bnh", onehot, Gn.astype(onehot.dtype))
+        return out.reshape(B, L, K, H).astype(Gn.dtype)
+    return jnp.take_along_axis(Gn, idx.reshape(B, L * K, 1), axis=1).reshape(B, L, K, H)
+
+
+def _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3, onehot=None):
     """[B, L, K, H] messages before mask/sum."""
-    B, L, K, H = E.shape
-    g = jnp.take_along_axis(Gn, idx.reshape(B, L * K, 1), axis=1).reshape(B, L, K, H)
+    g = _gather_nbr(Gn, idx, onehot)
     pre = A[:, :, None, :] + E @ W_e + g
     x = _gelu(pre) @ W2 + b2
     return _gelu(x) @ W3 + b3
 
 
-def _ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale):
-    m = _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3)
+def _ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale,
+                     onehot=None):
+    m = _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3, onehot)
     m = m * mask[..., None]
     return m.sum(axis=2) / scale
 
@@ -193,14 +205,14 @@ def fused_message_sum(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale):
 
 def _sum_fwd(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale):
     out = fused_message_sum(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale)
-    return out, (A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale)
+    return out, (A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale)
 
 
 def _sum_bwd(res, g):
-    A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale = res
+    A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale = res
     _, vjp = jax.vjp(
         lambda A, E, Gn, W_e, W2, b2, W3, b3: _ref_message_sum(
-            A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale),
+            A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale, onehot),
         A, E, Gn, W_e, W2, b2, W3, b3)
     dA, dE, dGn, dW_e, dW2, db2, dW3, db3 = vjp(g)
     return dA, dE, dGn, None, None, None, dW_e, dW2, db2, dW3, db3, None
@@ -219,14 +231,14 @@ def fused_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
 
 def _edge_fwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
     out = fused_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3)
-    return out, (A, E, Gn, idx, W_e, W2, b2, W3, b3)
+    return out, (A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3)
 
 
 def _edge_bwd(res, g):
-    A, E, Gn, idx, W_e, W2, b2, W3, b3 = res
+    A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3 = res
     _, vjp = jax.vjp(
         lambda A, E, Gn, W_e, W2, b2, W3, b3: _ref_message(
-            A, E, Gn, idx, W_e, W2, b2, W3, b3).astype(E.dtype),
+            A, E, Gn, idx, W_e, W2, b2, W3, b3, onehot).astype(E.dtype),
         A, E, Gn, W_e, W2, b2, W3, b3)
     dA, dE, dGn, dW_e, dW2, db2, dW3, db3 = vjp(g)
     return dA, dE, dGn, None, None, dW_e, dW2, db2, dW3, db3

@@ -126,6 +126,41 @@ def vq_sample_stochastic(rng, state: VQState, z, temperature=1.0):
     return z + jax.lax.stop_gradient(zq - z), idx.reshape(z.shape[:-1])
 
 
+def orthogonal_reg_loss(codebook, weight=10.0, max_codes=None, rng=None):
+    """Orthogonality regularizer on the codebook (reference 'orthogonal_vq',
+    utils/vq_module.py:128-136): || C C^T - I ||^2 / K^2 * weight, optionally
+    on a random subset of codes."""
+    if max_codes is not None and codebook.shape[0] > max_codes:
+        idx = jax.random.choice(rng, codebook.shape[0], (max_codes,),
+                                replace=False)
+        codebook = codebook[idx]
+    n = codebook.shape[0]
+    cb = codebook / jnp.maximum(
+        jnp.linalg.norm(codebook, axis=-1, keepdims=True), 1e-8)
+    gram = cb @ cb.T
+    return weight * ((gram - jnp.eye(n)) ** 2).sum() / (n * n)
+
+
+def multihead_vq_quantize(states, z, mask=None, *, train=False, decay=0.99,
+                          commitment_weight=0.25):
+    """Multi-head VQ (reference 'headvq', utils/vq_module.py:137-144): split
+    the channel dim into len(states) heads, quantize each against its own
+    codebook. Returns (z_q, indices [..., H], total commit loss, states)."""
+    H = len(states)
+    parts = jnp.split(z, H, axis=-1)
+    outs, idxs, losses, new_states = [], [], 0.0, []
+    for h in range(H):
+        zq, idx, loss, st = vq_quantize(states[h], parts[h], mask, train=train,
+                                        decay=decay,
+                                        commitment_weight=commitment_weight)
+        outs.append(zq)
+        idxs.append(idx)
+        losses = losses + loss
+        new_states.append(st)
+    return (jnp.concatenate(outs, -1), jnp.stack(idxs, -1), losses / H,
+            new_states)
+
+
 def expire_dead_codes(rng, state: VQState, z, mask=None, threshold=2.0):
     """Replace codes with EMA cluster size below threshold by random batch
     vectors (reference 'Expiring_stalevq', utils/vq_module.py:122-127)."""

@@ -124,6 +124,7 @@ class CAProteinFeatures(nn.Module):
     num_rbf: int = 16
     top_k: int = 30
     augment_eps: float = 0.0
+    gather_mode: str = "auto"
 
     def _dist(self, X, mask):
         mask_2d = mask[:, None, :] * mask[:, :, None]
@@ -141,12 +142,15 @@ class CAProteinFeatures(nn.Module):
         D_sigma = (D_max - D_min) / D_count
         return jnp.exp(-(((D[..., None] - D_mu) / D_sigma) ** 2))
 
-    def _get_rbf(self, A, B, E_idx):
-        D = jnp.sqrt(jnp.sum((A[:, :, None, :] - B[:, None, :, :]) ** 2, axis=-1) + 1e-6)
-        D_nbr = jnp.take_along_axis(D, E_idx, axis=2)
+    def _get_rbf(self, A, B, nbr):
+        """RBF(|A_i - B_nbr(i,k)|) without materializing [B, L, L]: gather
+        the B points via the one-hot op, then norm directly."""
+        Bn = gather_neighbors(B, nbr)                    # [B, L, K, 3]
+        D_nbr = jnp.sqrt(jnp.sum((A[:, :, None, :] - Bn) ** 2, axis=-1) + 1e-6)
         return self._rbf(D_nbr)
 
-    def _orientations(self, X, E_idx, eps=1e-6):
+    def _orientations(self, X, nbr, eps=1e-6):
+        E_idx = nbr["idx"]
         dX = X[:, 1:, :] - X[:, :-1, :]
         dX_norm = jnp.linalg.norm(dX, axis=-1)
         dX_mask = ((3.6 < dX_norm) & (dX_norm < 4.0)).astype(X.dtype)
@@ -167,8 +171,8 @@ class CAProteinFeatures(nn.Module):
         O = jnp.stack([o_1, n_2, jnp.cross(o_1, n_2)], axis=2)
         O = O.reshape(O.shape[0], O.shape[1], 9)
         O = jnp.pad(O, ((0, 0), (1, 2), (0, 0)))
-        O_neighbors = gather_nodes(O, E_idx)
-        X_neighbors = gather_nodes(X, E_idx)
+        O_neighbors = gather_neighbors(O, nbr)
+        X_neighbors = gather_neighbors(X, nbr)
 
         Om = O.reshape(O.shape[0], O.shape[1], 3, 3)
         On = O_neighbors.reshape(O_neighbors.shape[:3] + (3, 3))
@@ -184,23 +188,26 @@ class CAProteinFeatures(nn.Module):
             Ca = Ca + self.augment_eps * jax.random.normal(rng, Ca.shape, Ca.dtype)
 
         D_neighbors, E_idx = self._dist(Ca, mask)
+        nbr = make_neighbor_gather(E_idx, mode=self.gather_mode)
 
         Ca_0 = jnp.pad(Ca[:, :-1], ((0, 0), (1, 0), (0, 0)))
         Ca_1 = Ca
         Ca_2 = jnp.pad(Ca[:, 1:], ((0, 0), (0, 1), (0, 0)))
 
-        _, O_features = self._orientations(Ca, E_idx)
+        _, O_features = self._orientations(Ca, nbr)
 
         rbf_all = [self._rbf(D_neighbors)]
         for A, Bc in [(Ca_0, Ca_0), (Ca_2, Ca_2), (Ca_0, Ca_1), (Ca_0, Ca_2),
                       (Ca_1, Ca_0), (Ca_1, Ca_2), (Ca_2, Ca_0), (Ca_2, Ca_1)]:
-            rbf_all.append(self._get_rbf(A, Bc, E_idx))
+            rbf_all.append(self._get_rbf(A, Bc, nbr))
         rbf_all = jnp.concatenate(rbf_all, axis=-1)
 
-        offset = residue_idx[:, :, None] - residue_idx[:, None, :]
-        offset = jnp.take_along_axis(offset, E_idx, axis=2)
-        d_chains = (chain_labels[:, :, None] - chain_labels[:, None, :] == 0).astype(jnp.int32)
-        E_chains = jnp.take_along_axis(d_chains, E_idx, axis=2)
+        # residue_idx is an arange per sample, so relative offsets derive
+        # directly from the neighbor indices (no gather)
+        offset = residue_idx[:, :, None] - gather_neighbors(
+            residue_idx[..., None].astype(jnp.float32), nbr)[..., 0].astype(residue_idx.dtype)
+        E_chains = (gather_neighbors(chain_labels[..., None], nbr)[..., 0]
+                    == chain_labels[:, :, None]).astype(jnp.int32)
         E_positional = PositionalEncodings(self.num_positional_embeddings)(offset, E_chains)
 
         E = jnp.concatenate([E_positional, rbf_all, O_features], axis=-1)

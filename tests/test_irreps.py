@@ -125,3 +125,25 @@ def test_tp_paths_respect_parity():
     assert (0, 0, 2) in paths
     assert (0, 1, 1) in paths
     assert all(k != 0 for _, _, k in paths)
+
+
+def test_irreps_layernorm():
+    import jax.numpy as jnp
+    from codlad_tpu.nn.tensor_product import IrrepsLayerNorm
+
+    ir = Irreps("4x0e + 2x1o")
+    m = IrrepsLayerNorm(tuple(ir))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, ir.dim)).astype(np.float32) * 3)
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+    # vector part stays equivariant: rotating input rotates output
+    rot = _random_rotation(rng)
+    x_rot = np.array(x)
+    x_rot[:, 4:] = (x_rot[:, 4:].reshape(16, 2, 3) @ rot.T).reshape(16, 6)
+    y_rot = m.apply(params, jnp.asarray(x_rot))
+    want = np.array(y)
+    want[:, 4:] = (want[:, 4:].reshape(16, 2, 3) @ rot.T).reshape(16, 6)
+    np.testing.assert_allclose(np.asarray(y_rot), want, atol=1e-4)

@@ -241,3 +241,22 @@ def test_vq_variants():
     flat = np.asarray(z).reshape(-1, 4)
     for row in np.asarray(st2.codebook):
         assert (np.abs(flat - row).sum(-1) < 1e-5).any()
+
+
+def test_vq_multihead_and_orthogonal():
+    from codlad_tpu.models.vq import (
+        multihead_vq_quantize, orthogonal_reg_loss, vq_init)
+
+    rng = jax.random.PRNGKey(0)
+    states = [vq_init(jax.random.fold_in(rng, h), 16, 2) for h in range(3)]
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 6))
+    mask = jnp.ones((2, 5), bool)
+    zq, idx, loss, new_states = multihead_vq_quantize(states, z, mask, train=True)
+    assert zq.shape == z.shape and idx.shape == (2, 5, 3)
+    assert np.isfinite(float(loss))
+
+    # orthogonal loss is zero for an orthonormal codebook
+    eye = vq_init(rng, 4, 4).replace(codebook=jnp.eye(4))
+    assert float(orthogonal_reg_loss(eye.codebook, weight=10.0)) < 1e-9
+    rnd = jax.random.normal(rng, (8, 4))
+    assert float(orthogonal_reg_loss(rnd, weight=10.0)) > 0
