@@ -55,6 +55,10 @@ def build_parser():
     p.add_argument("--model_ckpt", type=str, default=None,
                    help="warm-start weights from this checkpoint dir (no optimizer/step)")
     p.add_argument("--dropout", type=float, default=0.6)
+    p.add_argument("--t_sampler", type=str, default="uniform",
+                   choices=["uniform", "loss_second_moment"],
+                   help="diffusion timestep schedule sampler (the reference "
+                        "ships LossSecondMomentResampler unwired; here it works)")
     return p
 
 
@@ -162,6 +166,11 @@ def main(argv=None):
         model, process, process_kind=args.model, ema_decay=args.ema_decay,
         dropout=args.dropout > 0)
 
+    resampler = None
+    if args.model == "diffusion" and args.t_sampler == "loss_second_moment":
+        from codlad_tpu.gen.timestep_sampler import LossSecondMomentResampler
+        resampler = LossSecondMomentResampler(args.diffusion_steps)
+
     if args.resume and ckpt.exists("last"):
         state = ckpt.restore(state, "last")
         logger.info(f"resumed at step {int(state.step)}")
@@ -188,7 +197,15 @@ def main(argv=None):
             sb = mesh_mod.shard_batch(hb, mesh)
             x1 = sb.pop("x1")
             key = jax.random.fold_in(jax.random.PRNGKey(args.seed), train_steps)
-            state, metrics = train_step(state, x1, sb, key)
+            if resampler is not None:
+                k_t = jax.random.fold_in(key, 777)
+                t, t_w = resampler.sample(k_t, x1.shape[0])
+                state, metrics = train_step(state, x1, sb, key, t=t, t_weights=t_w)
+                resampler.update_with_losses(
+                    np.asarray(metrics["t"]),
+                    np.asarray(metrics["loss_per_sample"]))
+            else:
+                state, metrics = train_step(state, x1, sb, key)
             train_steps += 1
             log_steps += 1
 

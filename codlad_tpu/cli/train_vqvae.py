@@ -148,6 +148,8 @@ def main(argv=None):
         timer = Timer()
 
         def run(data, step_fn, train):
+            # accumulate metrics ON DEVICE; a float() per step would force a
+            # host sync every step
             sums, n = {}, 0
             nonlocal state
             for i, hb in enumerate(data):
@@ -159,9 +161,9 @@ def main(argv=None):
                 else:
                     metrics = step_fn(state, b, key, w)
                 for k, v in metrics.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
+                    sums[k] = sums.get(k, 0.0) + v
                 n += 1
-            return {k: v / max(n, 1) for k, v in sums.items()}
+            return {k: float(v) / max(n, 1) for k, v in sums.items()}
 
         tm = run(train_data, train_step, True)
         vm = run(val_data, eval_step, False)

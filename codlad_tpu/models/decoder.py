@@ -18,7 +18,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from codlad_tpu.geometry import residues as R
 from codlad_tpu.nn.basis import ACTIVATIONS, InvariantMessage
 from codlad_tpu.nn.graph import make_directed_batched, make_edge_ops
 

@@ -156,15 +156,23 @@ def make_latent_step(denoiser, process, *, process_kind: str,
             deterministic=not use_dropout,
             rngs={"dropout": rng} if use_dropout else None)
 
-    def loss_fn(params, x1, extras, rng, train=True):
+    def loss_fn(params, x1, extras, rng, train=True, t=None, t_weights=None):
         mask3 = extras["mask"][..., None]
         if process_kind == "diffusion":
             k_t, k_loss = jax.random.split(rng)
-            t = jax.random.randint(k_t, (x1.shape[0],), 0, process.num_timesteps)
+            if t is None:
+                t = jax.random.randint(k_t, (x1.shape[0],), 0,
+                                       process.num_timesteps)
             model_fn = lambda x, tt, k, x_self_cond=None: model_apply(
                 params, x, tt, k, extras, x_self_cond, train=train)
             terms = process.training_losses(k_loss, model_fn, x1, t, mask=mask3)
-            return terms["loss"].mean(), {"mse": terms["mse"].mean()}
+            per_sample = terms["loss"]
+            if t_weights is not None:
+                loss = (per_sample * t_weights).mean()
+            else:
+                loss = per_sample.mean()
+            return loss, {"mse": terms["mse"].mean(),
+                          "loss_per_sample": per_sample, "t": t}
         if process_kind == "backbone":
             k_x0, k_drop = jax.random.split(rng)
             x0 = jax.random.normal(k_x0, x1.shape)
@@ -192,9 +200,10 @@ def make_latent_step(denoiser, process, *, process_kind: str,
         return masked_l2(vt, ut, extras["mask"]), {}
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, x1, extras, rng):
+    def train_step(state: TrainState, x1, extras, rng, t=None, t_weights=None):
         (loss, aux), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, x1, extras, rng), has_aux=True)(state.params)
+            lambda p: loss_fn(p, x1, extras, rng, t=t, t_weights=t_weights),
+            has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)
         new_state = new_state.replace(
             ema_params=update_ema(new_state.ema_params, new_state.params,

@@ -134,3 +134,33 @@ def test_sbcfm_step(tiny_batch):
     state, metrics = train_step(state, x1, extras, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
     assert "score" in metrics
+
+
+def test_latent_step_with_loss_resampler(tiny_batch):
+    """Loss-second-moment t sampling wired through the train step."""
+    from codlad_tpu.gen.timestep_sampler import LossSecondMomentResampler
+
+    model = mpnn_diffusion(input_size=3, learn_sigma=True, k_neighbors=8,
+                           dropout=0.0)
+    diffusion = create_diffusion(None, diffusion_steps=50, learn_sigma=True)
+    Bsz, L = tiny_batch["res_type"].shape
+    extras = {
+        "res_type": tiny_batch["res_type"],
+        "cg_xyz": tiny_batch["cg_xyz_og"][:, 1:-1],
+        "mask": tiny_batch["res_mask"],
+    }
+    x1 = jax.random.normal(jax.random.PRNGKey(0), (Bsz, L, 3))
+    params = model.init(jax.random.PRNGKey(1), x1, jnp.zeros((Bsz,), jnp.int32),
+                        extras["res_type"], extras["cg_xyz"], extras["mask"])
+    tx = optax.adamw(3e-4)
+    state = create_train_state(params, tx, with_ema=True)
+    train_step, _ = make_latent_step(model, diffusion, process_kind="diffusion",
+                                     dropout=False)
+    rs = LossSecondMomentResampler(50, history_per_term=2)
+    for i in range(3):
+        t, w = rs.sample(jax.random.PRNGKey(i), Bsz)
+        state, m = train_step(state, x1, extras, jax.random.PRNGKey(10 + i),
+                              t=t, t_weights=w)
+        rs.update_with_losses(np.asarray(m["t"]), np.asarray(m["loss_per_sample"]))
+    assert np.isfinite(float(m["loss"]))
+    assert rs._loss_counts.sum() > 0
