@@ -38,7 +38,7 @@ def build_parser():
     p.add_argument("--cfg_scale", type=float, default=0.0)
     p.add_argument("--batch_size", type=int, default=96)
     p.add_argument("--method", type=str, default="euler",
-                   help="ODE solver for flow models")
+                   help="ODE solver for flow models (euler/midpoint/rk4/dopri5)")
     p.add_argument("--stats_name", type=str, default=None)
     p.add_argument("--stats_dir", type=str, default="datasets/miu_and_sigma")
     p.add_argument("--seed", type=int, default=42)
@@ -48,6 +48,28 @@ def build_parser():
                    help="reproduce the reference's doubled-batch sampling")
     p.add_argument("--bf16", action="store_true", default=True)
     return p
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _genz_sample(model):
+    """Jitted prior-sample + decode for a GenZProt model (cached so repeated
+    proteins of the same bucket shape reuse the compilation)."""
+    import jax
+
+    from codlad_tpu.geometry.internal import ic_to_xyz14
+    from codlad_tpu.models.vae import GenZProt
+
+    @jax.jit
+    def fn(params, b, rng):
+        z, _, _ = model.apply(params, b, rng, method=GenZProt.get_latent_cg)
+        ic_recon = model.apply(params, b, z, method=GenZProt.decode)
+        xyz14 = ic_to_xyz14(b["cg_xyz_og"], ic_recon, b["res_type"])
+        return ic_recon, xyz14
+
+    return fn
 
 
 def _load_vae(args):
@@ -175,20 +197,10 @@ def main(argv=None):
             # decode latents sampled from the CG-conditioned prior
             # (reference test.py:499,555: GenZProt C2 path)
             from codlad_tpu.eval.harness import evaluate_structures
-            from codlad_tpu.geometry.internal import ic_to_xyz14
-            from codlad_tpu.models.vae import GenZProt
-
-            @jax.jit
-            def genz_sample(params, b, rng):
-                z, _, _ = vae.apply(params, b, rng,
-                                    method=GenZProt.get_latent_cg)
-                ic_recon = vae.apply(params, b, z, method=GenZProt.decode)
-                xyz14 = ic_to_xyz14(b["cg_xyz_og"], ic_recon, b["res_type"])
-                return ic_recon, xyz14
 
             per = []
             for sidx in range(args.num_ensemble):
-                ic_recon, xyz14 = genz_sample(
+                ic_recon, xyz14 = _genz_sample(vae)(
                     vae_state.params, batch,
                     jax.random.PRNGKey(args.seed + sidx))
                 per.append({k: float(v) for k, v in

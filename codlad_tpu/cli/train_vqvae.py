@@ -126,7 +126,11 @@ def main(argv=None):
         plateau = None
     else:
         plateau = PlateauLR(args.lr, factor=args.factor)
-        tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(args.lr))
+        # inject_hyperparams keeps the LR inside opt_state so plateau drops
+        # do NOT retrigger compilation of the train step
+        tx = optax.chain(optax.clip_by_global_norm(5.0),
+                         optax.inject_hyperparams(optax.adamw)(
+                             learning_rate=args.lr))
     state = create_train_state(params, tx, vq_state=vq_state)
 
     if args.resume and ckpt.exists("last"):
@@ -192,9 +196,9 @@ def main(argv=None):
             if new_lr != current_lr:
                 logger.info(f"plateau: lr {current_lr:.2e} -> {new_lr:.2e}")
                 current_lr = new_lr
-                tx = optax.chain(optax.clip_by_global_norm(5.0),
-                                 optax.adamw(current_lr))
-                state = state.replace(tx=tx)
+                from codlad_tpu.train.state import set_learning_rate
+                state = state.replace(
+                    opt_state=set_learning_rate(state.opt_state, new_lr))
         if smoothed < best_val:
             best_val = smoothed
             ckpt.save(state, "best")

@@ -362,3 +362,65 @@ class DecLayerDiffusion(nn.Module):
         if mask_V is not None:
             h_V = mask_V[..., None] * h_V
         return h_V
+
+
+class ProteinFeatures(nn.Module):
+    """Full-backbone featurizer: 25 RBF sets over N/CA/C/O + virtual Cb
+    (reference: models/protein_mpnn_utils.py:526-621; unused by the shipped
+    ca_only=True config but part of the component inventory).
+
+    Takes X [B, L, 4, 3] (N, CA, C, O) and returns (E, E_idx) like
+    CAProteinFeatures; the kNN graph is built on CA distances.
+    """
+
+    edge_features: int
+    num_positional_embeddings: int = 16
+    num_rbf: int = 16
+    top_k: int = 30
+    augment_eps: float = 0.0
+    gather_mode: str = "auto"
+
+    def _rbf(self, D):
+        D_mu = jnp.linspace(2.0, 22.0, self.num_rbf)
+        D_sigma = 20.0 / self.num_rbf
+        return jnp.exp(-(((D[..., None] - D_mu) / D_sigma) ** 2))
+
+    @nn.compact
+    def __call__(self, X, mask, residue_idx, chain_labels, rng=None):
+        if self.augment_eps > 0 and rng is not None:
+            X = X + self.augment_eps * jax.random.normal(rng, X.shape, X.dtype)
+
+        N, Ca, C, O = X[:, :, 0], X[:, :, 1], X[:, :, 2], X[:, :, 3]
+        # virtual C-beta from ideal backbone geometry (reference :542-546)
+        b = Ca - N
+        c = C - Ca
+        a = jnp.cross(b, c)
+        Cb = -0.58273431 * a + 0.56802827 * b - 0.54067466 * c + Ca
+
+        mask_2d = mask[:, None, :] * mask[:, :, None]
+        dX = Ca[:, None, :, :] - Ca[:, :, None, :]
+        D = mask_2d * jnp.sqrt(jnp.sum(dX**2, axis=-1) + 1e-6)
+        D_adjust = D + (1.0 - mask_2d) * jnp.max(D, axis=-1, keepdims=True)
+        k = min(self.top_k, X.shape[1])
+        neg_top, E_idx = jax.lax.top_k(-D_adjust, k)
+        nbr = make_neighbor_gather(E_idx, mode=self.gather_mode)
+
+        atoms = [Ca, N, C, O, Cb]
+        # 25 ordered (A, B) pairs (reference :560-585)
+        rbf_all = []
+        for A_at in atoms:
+            for B_at in atoms:
+                Bn = gather_neighbors(B_at, nbr)
+                Dn = jnp.sqrt(jnp.sum((A_at[:, :, None, :] - Bn) ** 2, -1) + 1e-6)
+                rbf_all.append(self._rbf(Dn))
+        rbf_all = jnp.concatenate(rbf_all, axis=-1)
+
+        offset = residue_idx[:, :, None] - gather_neighbors(
+            residue_idx[..., None].astype(jnp.float32), nbr)[..., 0].astype(residue_idx.dtype)
+        E_chains = (gather_neighbors(chain_labels[..., None], nbr)[..., 0]
+                    == chain_labels[:, :, None]).astype(jnp.int32)
+        E_positional = PositionalEncodings(self.num_positional_embeddings)(offset, E_chains)
+        E = jnp.concatenate([E_positional, rbf_all], axis=-1)
+        E = nn.Dense(self.edge_features, use_bias=False)(E)
+        E = nn.LayerNorm()(E)
+        return E, E_idx

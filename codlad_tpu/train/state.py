@@ -48,6 +48,18 @@ def update_ema(ema_params, params, decay=0.9999):
     return jax.tree.map(lambda e, p: e * decay + p * (1 - decay), ema_params, params)
 
 
+def set_learning_rate(opt_state, lr):
+    """Update the learning rate inside an optax.inject_hyperparams state
+    (no retracing/recompilation — the LR is an opt-state leaf).  Works on a
+    chain whose LAST element is the injected transform."""
+    import jax.numpy as jnp
+
+    inner = opt_state[-1]
+    hp = dict(inner.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state[:-1] + (inner._replace(hyperparams=hp),)
+
+
 def warmup_linear_schedule(lr, warmup, schedule_steps=None, final_lr=None):
     """Reference Stage-2 LR: linear warmup then linear decay to final_lr
     (train_latent.py:97-113)."""

@@ -260,3 +260,20 @@ def test_vq_multihead_and_orthogonal():
     assert float(orthogonal_reg_loss(eye.codebook, weight=10.0)) < 1e-9
     rnd = jax.random.normal(rng, (8, 4))
     assert float(orthogonal_reg_loss(rnd, weight=10.0)) > 0
+
+
+def test_protein_features_full_backbone(small_batch):
+    from codlad_tpu.nn.mpnn import ProteinFeatures
+
+    Bsz, L = small_batch["res_type"].shape
+    # N, CA, C, O from the atom14 slots (1, 3, 2, 0)
+    x14 = small_batch["xyz14"]
+    X = jnp.stack([x14[:, :, 1], x14[:, :, 3], x14[:, :, 2], x14[:, :, 0]], axis=2)
+    mask = small_batch["res_mask"].astype(jnp.float32)
+    feat = ProteinFeatures(64, top_k=8)
+    ridx = jnp.broadcast_to(jnp.arange(L)[None], (Bsz, L))
+    chains = jnp.ones((Bsz, L))
+    params = feat.init(jax.random.PRNGKey(0), X, mask, ridx, chains)
+    E, E_idx = feat.apply(params, X, mask, ridx, chains)
+    assert E.shape == (Bsz, L, 8, 64)
+    assert np.isfinite(np.asarray(E)).all()
