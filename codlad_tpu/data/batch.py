@@ -14,8 +14,6 @@ import math
 
 import numpy as np
 
-from codlad_tpu.geometry import residues as R
-
 EDGE_KEYS = {
     "atom_edges": 2,
     "cg_edges": 2,
@@ -95,14 +93,3 @@ def collate(examples, spec: PadSpec | None = None):
     padded = [pad_example(e, spec) for e in examples]
     return {k: np.stack([p[k] for p in padded]) for k in padded[0]}
 
-
-def flat_atom_offsets(batch):
-    """Per-sample offsets that lift [B, E, 2] edges into a global flat atom
-    index space of size B*L*14 (for segment reductions)."""
-    B, L = batch["res_type"].shape
-    return (np.arange(B) * L * R.MAX_ATOMS).astype(np.int32)
-
-
-def batch_sizes(batch):
-    B, L = batch["res_type"].shape
-    return B, L
