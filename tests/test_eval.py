@@ -101,3 +101,26 @@ def test_graph_validity_self_is_valid(setup):
                                     batch["res_type"], keep)
     np.testing.assert_allclose(np.asarray(valid), 1.0)
     np.testing.assert_allclose(np.asarray(ratio), 0.0)
+
+
+def test_flow_sampling_pipeline(setup):
+    """Flow-matching latent sampling through the pipeline (ODE solver path)."""
+    import dataclasses
+
+    from codlad_tpu.gen.flow import FLOW_MATCHERS
+    from codlad_tpu.models.denoiser import mpnn_diffusion
+
+    batch, pipeline = setup
+    Bsz, L = batch["res_type"].shape
+    den = mpnn_diffusion(input_size=3, learn_sigma=False, k_neighbors=8,
+                         dropout=0.0)
+    x = jnp.zeros((Bsz, L, 3))
+    params = den.init(jax.random.PRNGKey(0), x, jnp.zeros((Bsz,)),
+                      batch["res_type"], batch["cg_xyz_og"][:, 1:-1],
+                      batch["res_mask"])
+    flow_pipe = dataclasses.replace(
+        pipeline, denoiser=den, denoiser_params=params,
+        process=FLOW_MATCHERS["icfm"](), process_kind="icfm",
+        ode_steps=8, ode_method="midpoint")
+    ic_recon, xyz14 = flow_pipe.sample_and_decode(jax.random.PRNGKey(1), batch)
+    assert np.isfinite(np.asarray(xyz14)).all()

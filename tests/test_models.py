@@ -277,3 +277,28 @@ def test_protein_features_full_backbone(small_batch):
     E, E_idx = feat.apply(params, X, mask, ridx, chains)
     assert E.shape == (Bsz, L, 8, 64)
     assert np.isfinite(np.asarray(E)).all()
+
+
+def test_sparse_dense_edge_ops_agree():
+    """The gather/segment fallback must match the one-hot path exactly."""
+    from codlad_tpu.nn.graph import DenseEdgeOps, SparseEdgeOps, make_edge_ops
+
+    rng = np.random.default_rng(0)
+    B, E, N, F = 2, 40, 12, 8
+    edges = jnp.asarray(rng.integers(0, N, size=(B, E, 2)).astype(np.int32))
+    mask = jnp.asarray(rng.random((B, E)) > 0.3)
+    nodes = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
+    msgs = jnp.asarray(rng.normal(size=(B, E, F)).astype(np.float32))
+
+    dense = make_edge_ops(edges, mask, N)
+    sparse = make_edge_ops(edges, mask, N, dense_limit_bytes=1)
+    assert isinstance(dense, DenseEdgeOps) and isinstance(sparse, SparseEdgeOps)
+
+    for fn in ("gather_src", "gather_dst"):
+        a = np.asarray(getattr(dense, fn)(nodes))
+        b = np.asarray(getattr(sparse, fn)(nodes))
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=fn)
+    for red in ("sum", "mean"):
+        a = np.asarray(dense.aggregate_to_src(msgs, red))
+        b = np.asarray(sparse.aggregate_to_src(msgs, red))
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=red)
