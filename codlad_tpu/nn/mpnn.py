@@ -32,8 +32,11 @@ def make_neighbor_gather(E_idx, mode="auto", dtype=jnp.bfloat16):
     TPU dynamic gathers are ~4x slower than the equivalent one-hot matmul at
     MPNN shapes (and their backward is a scatter-add, worse still); since
     E_idx is fixed per conditioning batch, the one-hot is built once and
-    every gather becomes an MXU batched GEMM.  Memory is O(B L^2 K), so
-    'auto' switches it on only for L <= 256.
+    every gather becomes an MXU batched GEMM.  Both the memory and the
+    contraction FLOPs scale O(L^2 K), so 'auto' enables it only for
+    L <= 256 — measured on v5e, the one-hot and dynamic-gather paths break
+    even around L=512 and the selection matrices stop paying for
+    themselves.
     """
     B, L, K = E_idx.shape
     nbr = {"idx": E_idx}
