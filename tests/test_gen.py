@@ -169,3 +169,46 @@ def test_host_loop_matches_scan_loop():
     a = jax.jit(lambda r: d.p_sample_loop(r, model_fn, (2, 4, 3)))(rng)
     b = d.p_sample_loop_host(rng, model_fn, (2, 4, 3))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_angle_data_wrap_branch():
+    """2-channel (angle) data goes through the mod-2 wrap in q_sample/
+    sampling (reference gaussian_diffusion.py:348-349,447-448,621-625)."""
+    d = create_diffusion("ddim5", diffusion_steps=100, learn_sigma=True)
+
+    def model_fn(x, t, rng, **kw):
+        return jnp.concatenate([jnp.zeros_like(x), -jnp.ones_like(x)], axis=-1)
+
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.uniform(rng, (4, 6, 2), minval=-1, maxval=1)
+    t = jnp.array([1, 2, 3, 4])
+    terms = d.training_losses(rng, model_fn, x0, t)
+    assert np.isfinite(np.asarray(terms["loss"])).all()
+    s = d.p_sample_loop_host(jax.random.PRNGKey(1), model_fn, (4, 6, 2))
+    arr = np.asarray(s)
+    assert (arr >= -1 - 1e-5).all() and (arr <= 1 + 1e-5).all()
+
+
+def test_sigmoid_normal_t_density():
+    """Flow t ~ sigmoid(N(0,1)), not uniform (reference flow.py:187-190):
+    mass concentrates near 0.5 relative to uniform."""
+    fm = FLOW_MATCHERS["icfm"]()
+    x = jnp.zeros((20000, 3))
+    t, _, _ = fm.sample_location_and_conditional_flow(jax.random.PRNGKey(0), x, x)
+    t = np.asarray(t)
+    mid = ((t > 0.25) & (t < 0.75)).mean()
+    assert mid > 0.6  # uniform would give 0.5
+
+
+def test_dynamic_loss_weight_schedule():
+    from codlad_tpu.train.losses import LossWeights
+
+    w = LossWeights(eta=1.0, zeta=5.0)
+    w0 = w.dynamic(0)
+    assert w0.eta == 0.0 and w0.zeta == 0.0        # epoch 0 disables xyz+clash
+    w10 = w.dynamic(10)
+    assert w10.eta == 1.0 and w10.zeta == 5.0      # steady state
+    w30 = w.dynamic(30)
+    assert w30.zeta == 10.0                        # >20 doubles clash
+    woff = w.dynamic(0, dynamic_loss=False)
+    assert woff.eta == 1.0 and woff.zeta == 5.0
