@@ -1,0 +1,164 @@
+"""Import reference (torch) checkpoints into this framework's param trees.
+
+Covers the GenZProt composition (the C2 checkpoint shipped inside the
+reference repo, results/Vae_m1_12-23-23_12345/model.pt) and by extension
+the VQ-VAE layout (same encoder/decoder modules).  The reference's
+state-dict surgery is reproduced: obsolete `dist_filter` keys are dropped
+and any DDP `module.` prefix stripped (reference utils/model_module.py:
+91-108 `remove_key`).
+
+What maps EXACTLY: every Linear/Embedding — node/edge embeddings, edge
+MLPs, the TP-conv weight-generator MLPs (the e3nn fully-connected TP and
+ours enumerate the same path set in the same order with identical per-path
+weight counts: verified 192/288/384 per conv layer), mu/sigma heads, the
+whole IC decoder.
+
+Known caveat (documented, not silently wrong): the equivariant tensor
+products themselves contract through real Wigner couplings whose BASIS
+differs between e3nn and this framework (e3nn orders l=1 as (y,z,x); each
+coupling tensor is unique only up to sign).  Imported encoder/prior
+networks are therefore close-but-not-bitwise: paths touching l>0 features
+may differ by a fixed orthogonal change of basis per path.  Scalars-only
+paths are exact.  Full bitwise parity needs the per-path basis/sign
+correction table, which requires e3nn as ground truth to derive — tracked
+in ROADMAP.md.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_reference_state_dict(path):
+    """model.pt -> {name: np.ndarray}, with the reference's key surgery."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if "dist_filter" in k:
+            continue
+        out[k] = np.asarray(v.detach().cpu().numpy())
+    return out
+
+
+def _lin(sd, name):
+    """torch Linear -> flax Dense dict."""
+    return {"kernel": sd[f"{name}.weight"].T.copy(),
+            "bias": sd[f"{name}.bias"].copy()}
+
+
+def _emb(sd, name):
+    return {"embedding": sd[f"{name}.weight"].copy()}
+
+
+def _edge_embed(sd, prefix):
+    """torch Sequential(Linear, ReLU, Dropout, Linear) -> EdgeEmbed."""
+    return {"Dense_0": _lin(sd, f"{prefix}.0"),
+            "Dense_1": _lin(sd, f"{prefix}.3")}
+
+
+def _tpconv(sd, prefix):
+    """reference TensorProductConvLayer.fc -> our TPConv Dense pair."""
+    return {"Dense_0": _lin(sd, f"{prefix}.fc.0"),   # hidden
+            "Dense_1": _lin(sd, f"{prefix}.fc.3")}   # per-path weights
+
+
+def convert_encoder(sd, prefix="encoder"):
+    """reference e3nnEncoder -> our E3Encoder param subtree.
+
+    Our flax module numbering (creation order per conv layer l):
+      TPConv_{atom}, Dense_{4l} (cross c2a weight out), Dense_{4l+1}
+      (c2a hidden), [l < last: TPConv_{cg}, Dense_{4l+2} (a2c out),
+      Dense_{4l+3} (a2c hidden)], readout Dense_10/Dense_11.
+    """
+    p = {}
+    p["Embed_0"] = _emb(sd, f"{prefix}.atom_node_embedding")
+    p["Embed_1"] = _emb(sd, f"{prefix}.cg_node_embedding")
+    p["EdgeEmbed_0"] = _edge_embed(sd, f"{prefix}.atom_edge_embedding")
+    p["EdgeEmbed_1"] = _edge_embed(sd, f"{prefix}.cg_edge_embedding")
+    p["EdgeEmbed_2"] = _edge_embed(sd, f"{prefix}.cross_edge_embedding")
+
+    tp_idx = 0
+    for l in range(3):
+        p[f"TPConv_{tp_idx}"] = _tpconv(sd, f"{prefix}.atom_conv_layers.{l}")
+        tp_idx += 1
+        p[f"Dense_{4 * l}"] = _lin(sd, f"{prefix}.cg_to_atom_conv_layers.{l}.fc.3")
+        p[f"Dense_{4 * l + 1}"] = _lin(sd, f"{prefix}.cg_to_atom_conv_layers.{l}.fc.0")
+        if l != 2:
+            p[f"TPConv_{tp_idx}"] = _tpconv(sd, f"{prefix}.cg_conv_layers.{l}")
+            tp_idx += 1
+            p[f"Dense_{4 * l + 2}"] = _lin(sd, f"{prefix}.atom_to_cg_conv_layers.{l}.fc.3")
+            p[f"Dense_{4 * l + 3}"] = _lin(sd, f"{prefix}.atom_to_cg_conv_layers.{l}.fc.0")
+    p["Dense_10"] = _lin(sd, f"{prefix}.dense.0")
+    p["Dense_11"] = _lin(sd, f"{prefix}.dense.2")
+    return p
+
+
+def convert_prior(sd, prefix="prior_net"):
+    p = {}
+    p["Embed_0"] = _emb(sd, f"{prefix}.cg_node_embedding")
+    p["EdgeEmbed_0"] = _edge_embed(sd, f"{prefix}.cg_edge_embedding")
+    for l in range(3):
+        p[f"TPConv_{l}"] = _tpconv(sd, f"{prefix}.cg_conv_layers.{l}")
+    p["Dense_0"] = _lin(sd, f"{prefix}.mu.0")
+    p["Dense_1"] = _lin(sd, f"{prefix}.mu.2")
+    p["Dense_2"] = _lin(sd, f"{prefix}.sigma.0")
+    p["Dense_3"] = _lin(sd, f"{prefix}.sigma.2")
+    return p
+
+
+def convert_ic_decoder(sd, prefix="equivaraintconv", num_conv=4):
+    """reference IC_Decoder -> our ICDecoder subtree (EXACT: all Linear/
+    Embedding).  Our numbering: Embed_0=backbone_dist, Embed_1=
+    sidechain_dist, Embed_2=res_embed, Embed_3=sidechain_angle;
+    _MLP2_{0..num_conv-1}=dense blocks, _MLP2_{nc}=backbone_angle,
+    _MLP2_{nc+1}=backbone_torsion, _MLP2_{nc+2..2nc+1}=sc torsion blocks,
+    _MLP2_{2nc+2}=final torsion."""
+    nc = num_conv
+    p = {}
+    p["Embed_0"] = _emb(sd, f"{prefix}.backbone_dist")
+    p["Embed_1"] = _emb(sd, f"{prefix}.sidechain_dist")
+    p["Embed_2"] = _emb(sd, f"{prefix}.res_embed")
+    p["Embed_3"] = _emb(sd, f"{prefix}.sidechain_angle")
+    for i in range(nc):
+        p[f"InvariantMessage_{i}"] = {
+            "Dense_0": _lin(sd, f"{prefix}.message_blocks.{i}.inv_dense.0"),
+            "Dense_1": _lin(sd, f"{prefix}.message_blocks.{i}.inv_dense.1"),
+            "DistanceEmbed_0": {
+                "Dense_0": _lin(sd, f"{prefix}.message_blocks.{i}.dist_embed.block.1")},
+        }
+        p[f"_MLP2_{i}"] = {
+            "Dense_0": _lin(sd, f"{prefix}.dense_blocks.{i}.1"),
+            "Dense_1": _lin(sd, f"{prefix}.dense_blocks.{i}.3")}
+    p[f"_MLP2_{nc}"] = {"Dense_0": _lin(sd, f"{prefix}.backbone_angle.1"),
+                        "Dense_1": _lin(sd, f"{prefix}.backbone_angle.3")}
+    p[f"_MLP2_{nc + 1}"] = {"Dense_0": _lin(sd, f"{prefix}.backbone_torsion.1"),
+                            "Dense_1": _lin(sd, f"{prefix}.backbone_torsion.3")}
+    for i in range(nc):
+        p[f"_MLP2_{nc + 2 + i}"] = {
+            "Dense_0": _lin(sd, f"{prefix}.sidechain_torsion_blocks.{i}.1"),
+            "Dense_1": _lin(sd, f"{prefix}.sidechain_torsion_blocks.{i}.3")}
+    p[f"_MLP2_{2 * nc + 2}"] = {"Dense_0": _lin(sd, f"{prefix}.final_torsion.1"),
+                                "Dense_1": _lin(sd, f"{prefix}.final_torsion.3")}
+    return p
+
+
+def convert_genzprot(sd_or_path, num_conv=4):
+    """Full GenZProt (C2) param tree in our flax layout."""
+    sd = (load_reference_state_dict(sd_or_path)
+          if isinstance(sd_or_path, (str, bytes)) else sd_or_path)
+    head = {
+        "Dense_0": _lin(sd, "atom_munet.0"),
+        "Dense_1": _lin(sd, "atom_munet.2"),
+        "Dense_2": _lin(sd, "atom_sigmanet.0"),
+        "Dense_3": _lin(sd, "atom_sigmanet.2"),
+    }
+    return {"params": {
+        "encoder": convert_encoder(sd),
+        "prior_net": convert_prior(sd),
+        "head": head,
+        "decoder": convert_ic_decoder(sd, num_conv=num_conv),
+    }}

@@ -54,8 +54,9 @@ class CheckpointManager:
         to_np = lambda t: jax.tree.map(np.asarray, t)
         self._ckpt.save(self._path(name, "main"), to_np(self._main_tree(state)),
                         force=True)
-        self._ckpt.save(self._path(name, "opt"), to_np(state.opt_state),
-                        force=True)
+        if jax.tree.leaves(state.opt_state):  # identity optimizers are empty
+            self._ckpt.save(self._path(name, "opt"), to_np(state.opt_state),
+                            force=True)
         self._ckpt.wait_until_finished()
 
     def restore(self, template, name, load_opt=None):
