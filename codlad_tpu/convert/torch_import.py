@@ -146,6 +146,47 @@ def convert_ic_decoder(sd, prefix="equivaraintconv", num_conv=4):
     return p
 
 
+def convert_vae(sd_or_path, num_conv=4, embed_dim=36, vqdim=3):
+    """Reference VQ-VAE (N6/K3/K4 layout) -> our VAE param tree + VQ state.
+
+    Returns (params, vq_arrays) where vq_arrays is {codebook, cluster_size,
+    embed_avg} (numpy) when quantizer buffers are present, else None.
+    NOTE: verified structurally against the module definitions
+    (vae_model.py:686-782); no VQ-VAE .pt ships inside the reference repo,
+    so exercise with a downloaded N6/K3/K4 checkpoint before relying on it.
+    vector_quantize_pytorch buffer names handled: `quantize._codebook.embed
+    / embed_avg / cluster_size` (leading codebook-group axis squeezed).
+    """
+    sd = (load_reference_state_dict(sd_or_path)
+          if isinstance(sd_or_path, (str, bytes)) else sd_or_path)
+    params = {
+        "encoder": convert_encoder(sd),
+        "decoder": convert_ic_decoder(sd, num_conv=num_conv),
+    }
+    if embed_dim != vqdim and "map_in.weight" in sd:
+        params["map_in"] = _lin(sd, "map_in")
+        params["map_out"] = _lin(sd, "map_out")
+
+    vq = None
+    embed_key = next((k for k in sd if k.endswith("_codebook.embed")), None)
+    if embed_key is not None:
+        base = embed_key[: -len(".embed")]
+        squeeze = lambda a: a[0] if a.ndim == 3 else a
+
+        def get(name, fallback=None):
+            k = f"{base}.{name}"
+            return sd[k] if k in sd else fallback
+
+        codebook = squeeze(sd[embed_key])
+        vq = {
+            "codebook": codebook,
+            "embed_avg": (squeeze(get("embed_avg", codebook.copy()))),
+            "cluster_size": (get("cluster_size",
+                                 np.ones(codebook.shape[0], np.float32)).reshape(-1)),
+        }
+    return {"params": params}, vq
+
+
 def convert_genzprot(sd_or_path, num_conv=4):
     """Full GenZProt (C2) param tree in our flax layout."""
     sd = (load_reference_state_dict(sd_or_path)
