@@ -118,9 +118,11 @@ def main(argv=None):
     ckpt.save_config(vars(args))
     logger.info(f"args: {vars(args)}")
 
+    mesh_mod.maybe_init_distributed()
     n_dev = jax.device_count()
     mesh = mesh_mod.make_mesh(n_dev)
-    logger.info(f"data-parallel over {n_dev} device(s)")
+    logger.info(f"data-parallel over {n_dev} device(s), "
+                f"process {jax.process_index()}/{jax.process_count()}")
 
     if args.stats_name:
         mean, std = load_stats(args.stats_dir, args.stats_name)

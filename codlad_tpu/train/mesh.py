@@ -15,6 +15,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed():
+    """Initialize jax.distributed for multi-host runs when the standard
+    coordinator env vars are present (no-op single-host).  Call before any
+    device access in multi-host launches; per-host data loading then keys
+    off jax.process_index() (the TPU equivalent of the reference's
+    per-process batch split, train_latent.py:54)."""
+    import os
+
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized
+    return jax.process_index(), jax.process_count()
+
+
+def is_main_process():
+    return jax.process_index() == 0
+
+
 def make_mesh(n_devices=None, axis="data"):
     devices = jax.devices()
     if n_devices is not None:
