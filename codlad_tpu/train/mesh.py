@@ -26,8 +26,10 @@ def maybe_init_distributed():
     if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         try:
             jax.distributed.initialize()
-        except RuntimeError:
-            pass  # already initialized
+        except Exception:
+            # already initialized, or a coordinator env var that does not
+            # belong to a jax launch — proceed single-host either way
+            pass
     return jax.process_index(), jax.process_count()
 
 
