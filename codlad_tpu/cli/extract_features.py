@@ -63,9 +63,15 @@ def main(argv=None):
     state = ckpt.restore(state, name)
     print(f"loaded {name} checkpoint (step {int(state.step)})")
 
+    mode = cfg.get("train_section", "vqvae")
+
     @jax.jit
-    def encode(b):
-        h, _ = vae.apply(state.params, b, method=VAE.encode)
+    def encode(b, key):
+        h, (mu, sigma) = vae.apply(state.params, b, method=VAE.encode)
+        if mode in ("fgvae", "cgvae"):
+            # reference extracts REPARAMETRIZED latents for the vae paths
+            # (vae_model.py:802-828 get_latent_wovq)
+            h = mu + sigma * jax.random.normal(key, sigma.shape)
         return h
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -75,7 +81,7 @@ def main(argv=None):
     for fname in data.files:
         spec, shard = load_protein_shard(os.path.join(args.data_dir, fname))
         b = {k: jnp.asarray(v) for k, v in shard.items()}
-        h = np.asarray(encode(b))                       # [F, L, vqdim]
+        h = np.asarray(encode(b, jax.random.fold_in(rng, hash(fname) % (2**31))))
         mask = shard["res_mask"]
         np.savez_compressed(
             os.path.join(args.out_dir, fname),

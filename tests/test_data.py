@@ -108,3 +108,23 @@ def test_collate_shapes_and_masks():
     # padded edge rows are zero
     m = batch["atom_edges_mask"][0]
     assert (batch["atom_edges"][0][~m] == 0).all()
+
+
+def test_load_reference_norm_stats():
+    """The reference's published .pt normalization stats load directly."""
+    import os
+    import pytest
+
+    path = "/root/reference/datasets/miu_and_sigma"
+    if not os.path.isdir(path):
+        pytest.skip("reference stats not present")
+    from codlad_tpu.data.norm import load_reference_stats
+
+    for ft, dn in [("N6", "PED"), ("K3", "PDB"), ("K4", "Atlas")]:
+        mean, std = load_reference_stats(path, ft, dn)
+        assert mean.shape == (3,) and std.shape == (3,)
+        assert (std > 0).all()
+    # IDRome remap resolves to the per-type dataset
+    m2, s2 = load_reference_stats(path, "N6", "IDRome_test_7")
+    m1, s1 = load_reference_stats(path, "N6", "PED")
+    np.testing.assert_allclose(m1, m2)
