@@ -49,6 +49,8 @@ def build_parser():
     p.add_argument("--self_condition", action="store_true", default=False)
     p.add_argument("--save_step", type=int, default=5000)
     p.add_argument("--log_step", type=int, default=100)
+    p.add_argument("--val_every_epochs", type=int, default=1,
+                   help="run validation every N epochs")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true", default=False)
@@ -227,6 +229,8 @@ def main(argv=None):
                 break
 
         # validation (reference train_latent.py:299-375)
+        if (epoch + 1) % max(args.val_every_epochs, 1) != 0:
+            continue
         vlosses = []
         for i, hb in enumerate(val):
             x1 = normalize(hb.pop("x1"), mean, std, norm_in=True).astype(np.float32)
