@@ -215,9 +215,11 @@ def main(argv=None):
 
             if train_steps % args.log_step == 0:
                 dt = time.time() - log_t0
+                mse = (f" mse {float(metrics['mse']):.5f}"
+                       if "mse" in metrics else "")
                 logger.info(
                     f"epoch {epoch} step {train_steps}: "
-                    f"loss {float(metrics['loss']):.5f} "
+                    f"loss {float(metrics['loss']):.5f}{mse} "
                     f"grad_norm {float(metrics['grad_norm']):.4f} "
                     f"steps/sec {log_steps / dt:.3f}")
                 log_t0, log_steps = time.time(), 0
