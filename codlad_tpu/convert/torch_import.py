@@ -13,20 +13,32 @@ ours enumerate the same path set in the same order with identical per-path
 weight counts: verified 192/288/384 per conv layer), mu/sigma heads, the
 whole IC decoder.
 
-Known caveat (documented, not silently wrong): the equivariant tensor
-products themselves contract through real Wigner couplings whose BASIS
-differs between e3nn and this framework (e3nn orders l=1 as (y,z,x); each
-coupling tensor is unique only up to sign).  Imported encoder/prior
-networks are therefore close-but-not-bitwise: paths touching l>0 features
-may differ by a fixed orthogonal change of basis per path.  Scalars-only
-paths are exact.  Full bitwise parity needs the per-path basis/sign
-correction table, which requires e3nn as ground truth to derive — tracked
-in ROADMAP.md.
+The equivariant tensor products are ALSO exact: the imported per-path
+weight blocks are corrected by `convert/e3nn_basis.py` — a ±1 sign from
+the alignment between e3nn's Wigner-3j (reconstructed from SU(2) CG +
+e3nn's real/complex change of basis, verified unique by exhaustive
+convention search) and our numerically-solved couplings, times
+sqrt(2*l_out+1) for e3nn's 'component' irrep normalization.  e3nn's l=1
+basis is (x,y,z) like ours, so node features (l<=1 everywhere in these
+models) and every readout Dense transfer verbatim; the l=2 edge-SH basis
+difference folds entirely into the per-path corrections.  Parity of the
+corrected TP against a from-scratch numpy model of e3nn's
+FullyConnectedTensorProduct is tested in tests/test_e3nn_basis.py.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+from codlad_tpu.convert.e3nn_basis import correct_weight_dense
+from codlad_tpu.nn.irreps import Irreps
+
+_SH_IR = Irreps("1x0e + 1x1o + 1x2e")
+
+
+def _ladder(ns=12, nv=4):
+    from codlad_tpu.models.encoder import irrep_ladder
+    return irrep_ladder(ns, nv)
 
 
 def load_reference_state_dict(path):
@@ -60,10 +72,14 @@ def _edge_embed(sd, prefix):
             "Dense_1": _lin(sd, f"{prefix}.3")}
 
 
-def _tpconv(sd, prefix):
-    """reference TensorProductConvLayer.fc -> our TPConv Dense pair."""
+def _tpconv(sd, prefix, in_ir, out_ir):
+    """reference TensorProductConvLayer.fc -> our TPConv Dense pair.
+
+    fc.3 emits the per-path TP weights: its output columns get the
+    e3nn-basis correction (sign x sqrt(2*l_out+1) per path)."""
     return {"Dense_0": _lin(sd, f"{prefix}.fc.0"),   # hidden
-            "Dense_1": _lin(sd, f"{prefix}.fc.3")}   # per-path weights
+            "Dense_1": correct_weight_dense(
+                _lin(sd, f"{prefix}.fc.3"), in_ir, _SH_IR, out_ir)}
 
 
 def convert_encoder(sd, prefix="encoder"):
@@ -81,16 +97,24 @@ def convert_encoder(sd, prefix="encoder"):
     p["EdgeEmbed_1"] = _edge_embed(sd, f"{prefix}.cg_edge_embedding")
     p["EdgeEmbed_2"] = _edge_embed(sd, f"{prefix}.cross_edge_embedding")
 
+    ladder = _ladder()
     tp_idx = 0
     for l in range(3):
-        p[f"TPConv_{tp_idx}"] = _tpconv(sd, f"{prefix}.atom_conv_layers.{l}")
+        in_ir, out_ir = ladder[min(l, 3)], ladder[min(l + 1, 3)]
+        p[f"TPConv_{tp_idx}"] = _tpconv(
+            sd, f"{prefix}.atom_conv_layers.{l}", in_ir, out_ir)
         tp_idx += 1
-        p[f"Dense_{4 * l}"] = _lin(sd, f"{prefix}.cg_to_atom_conv_layers.{l}.fc.3")
+        p[f"Dense_{4 * l}"] = correct_weight_dense(
+            _lin(sd, f"{prefix}.cg_to_atom_conv_layers.{l}.fc.3"),
+            in_ir, _SH_IR, out_ir)
         p[f"Dense_{4 * l + 1}"] = _lin(sd, f"{prefix}.cg_to_atom_conv_layers.{l}.fc.0")
         if l != 2:
-            p[f"TPConv_{tp_idx}"] = _tpconv(sd, f"{prefix}.cg_conv_layers.{l}")
+            p[f"TPConv_{tp_idx}"] = _tpconv(
+                sd, f"{prefix}.cg_conv_layers.{l}", in_ir, out_ir)
             tp_idx += 1
-            p[f"Dense_{4 * l + 2}"] = _lin(sd, f"{prefix}.atom_to_cg_conv_layers.{l}.fc.3")
+            p[f"Dense_{4 * l + 2}"] = correct_weight_dense(
+                _lin(sd, f"{prefix}.atom_to_cg_conv_layers.{l}.fc.3"),
+                in_ir, _SH_IR, out_ir)
             p[f"Dense_{4 * l + 3}"] = _lin(sd, f"{prefix}.atom_to_cg_conv_layers.{l}.fc.0")
     p["Dense_10"] = _lin(sd, f"{prefix}.dense.0")
     p["Dense_11"] = _lin(sd, f"{prefix}.dense.2")
@@ -101,8 +125,10 @@ def convert_prior(sd, prefix="prior_net"):
     p = {}
     p["Embed_0"] = _emb(sd, f"{prefix}.cg_node_embedding")
     p["EdgeEmbed_0"] = _edge_embed(sd, f"{prefix}.cg_edge_embedding")
+    ladder = _ladder()
     for l in range(3):
-        p[f"TPConv_{l}"] = _tpconv(sd, f"{prefix}.cg_conv_layers.{l}")
+        p[f"TPConv_{l}"] = _tpconv(sd, f"{prefix}.cg_conv_layers.{l}",
+                                   ladder[min(l, 3)], ladder[min(l + 1, 3)])
     p["Dense_0"] = _lin(sd, f"{prefix}.mu.0")
     p["Dense_1"] = _lin(sd, f"{prefix}.mu.2")
     p["Dense_2"] = _lin(sd, f"{prefix}.sigma.0")
