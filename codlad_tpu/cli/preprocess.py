@@ -33,6 +33,14 @@ def main(argv=None):
     p.add_argument("--split_file", type=str, default=None,
                    help="text file of protein ids (one per line)")
     p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--xtc_dir", type=str, default=None,
+                   help="directory of Atlas-style xtc replicas; each "
+                        "protein id needs {id}.pdb topology in --pdb_dir "
+                        "and {id}*.xtc here (reference "
+                        "protein_module.py:898)")
+    p.add_argument("--stride", type=int, default=100,
+                   help="xtc frame stride (reference Atlas train "
+                        "convention: 100; test: 10000)")
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--atom_cutoff", type=float, default=9.0)
     p.add_argument("--cg_cutoff", type=float, default=21.0)
@@ -71,7 +79,19 @@ def main(argv=None):
         for i, path in enumerate(files):
             name = os.path.basename(path).split(".")[0]
             try:
-                struct = parse_pdb(path)
+                if args.xtc_dir:
+                    import glob
+
+                    from codlad_tpu.data.pdb import load_xtc_ensemble
+                    xtcs = sorted(glob.glob(
+                        os.path.join(args.xtc_dir, f"{name}*.xtc")))
+                    if not xtcs:
+                        raise FileNotFoundError(
+                            f"no xtc replicas for {name} in {args.xtc_dir}")
+                    struct = load_xtc_ensemble(path, xtcs, stride=args.stride,
+                                               max_frames=args.max_frames)
+                else:
+                    struct = parse_pdb(path)
                 exs = preprocess_structure(struct, prot_idx=i, cfg=cfg,
                                            max_frames=args.max_frames)
                 save_protein_shard(os.path.join(args.out_dir, f"{name}.npz"), exs)
@@ -82,6 +102,12 @@ def main(argv=None):
                 failed.append({"name": name, "error": f"{type(e).__name__}: {e}"})
                 print(f"[{i + 1}/{len(files)}] {name}: FAILED {e}",
                       file=sys.stderr, flush=True)
+
+    if success:
+        from codlad_tpu.data.shards import align_shard_buckets
+        merged = align_shard_buckets(args.out_dir)
+        print(f"bucket alignment: {len(merged)} compilation bucket(s) "
+              f"for {len(success)} protein(s)")
 
     with open(os.path.join(args.out_dir, "manifest.json"), "w") as f:
         json.dump({"success": success, "failed": failed,

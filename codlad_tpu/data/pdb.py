@@ -5,8 +5,9 @@ utils/protein_module.py:878-918); this environment has no mdtraj, so a
 small self-contained parser covers the framework's needs: ATOM records of
 the 22 supported residue types, multi-MODEL ensembles, multiple chains,
 hydrogens dropped.  Output into the canonical atom14 layout used everywhere
-else, plus a writer for exporting generated ensembles as multi-MODEL PDB
-(the reference's xtc export requires mdtraj and is gated off without it).
+else, plus a writer for exporting generated ensembles as multi-MODEL PDB.
+Atlas-style xtc trajectories load through `load_xtc_ensemble` (topology
+PDB + xtc replicas, self-contained codec in data/xtc.py).
 """
 
 from __future__ import annotations
@@ -28,19 +29,26 @@ def _open(path):
     return open(path)
 
 
-def parse_pdb(path, model_index=None):
+def parse_pdb(path, model_index=None, return_topology=False):
     """Parse a PDB file into frames of the atom14 layout.
 
     Returns dict with:
       res_type_og [R] int32, chain_id_og [R] int32,
       cg_xyz_og [F, R, 3] f32, xyz14 [F, R-2, 14, 3] f32,
       atom14_mask [R-2, 14] bool (atoms actually present in the file).
+
+    With return_topology=True, returns the raw parse instead:
+    (models, order, res_names, file_atoms) where file_atoms lists EVERY
+    first-model atom line in file order as (res_key, atom_name, kept) —
+    the mapping needed to scatter xtc coordinate streams (which follow
+    the topology's atom order) onto residues.
     """
     models = []   # list of dict (chain, resseq) -> {atom_name: xyz}
     current = {}
     order = []    # residue keys in file order
     res_names = {}
     n_models = 0
+    file_atoms = []   # EVERY first-model atom line in order: (key, name, kept)
 
     def flush():
         nonlocal current, n_models
@@ -56,21 +64,23 @@ def parse_pdb(path, model_index=None):
                 flush()
             elif rec in ("ATOM  ", "HETATM"):
                 resname = line[17:20].strip()
-                if resname not in R.THREE_TO_ONE:
-                    continue
                 name = line[12:16].strip()
-                altloc = line[16]
-                if altloc not in (" ", "A"):
-                    continue
-                element = (line[76:78].strip() or name[0]).upper()
-                if element == "H" or name.startswith("H") and element == "":
-                    continue
-                if element == "H" or element == "D":
-                    continue
                 chain = line[21]
-                resseq = int(line[22:26])
+                try:
+                    resseq = int(line[22:26])
+                except ValueError:
+                    continue
                 icode = line[26]
                 key = (chain, resseq, icode)
+                altloc = line[16]
+                element = (line[76:78].strip() or name[0]).upper()
+                keep = (resname in R.THREE_TO_ONE
+                        and altloc in (" ", "A")
+                        and element not in ("H", "D"))
+                if n_models == 0:
+                    file_atoms.append((key, name, keep))
+                if not keep:
+                    continue
                 if key not in current:
                     current[key] = {}
                     if n_models == 0 and key not in res_names:
@@ -86,7 +96,13 @@ def parse_pdb(path, model_index=None):
         raise PDBParseError(f"no protein atoms parsed from {path}")
     if model_index is not None:
         models = [models[model_index]]
+    if return_topology:
+        return models, order, res_names, file_atoms
 
+    return _build_struct(models, order, res_names, path)
+
+
+def _build_struct(models, order, res_names, path=""):
     # keep only residues present with a CA in the first model
     order = [k for k in order if "CA" in models[0].get(k, {})]
     n_res = len(order)
@@ -124,6 +140,48 @@ def parse_pdb(path, model_index=None):
         "xyz14": xyz14,
         "atom14_mask": mask14,
     }
+
+
+def load_xtc_ensemble(pdb_path, xtc_paths, stride=1, max_frames=None):
+    """Atlas-style trajectory ingestion: topology PDB + xtc replicas.
+
+    Mirrors the reference's mdtraj path (reference: utils/
+    protein_module.py:898 `md.load(traj_file, top=pdb_file)` with stride
+    100 at train preprocessing, utils/dataset_module.py:148-160 with
+    stride 10000 at test): xtc coordinates are nm, converted to Å (x10,
+    protein_module.py:523), streamed frame-by-frame onto the topology's
+    atom order, frames of all replicas concatenated.
+
+    Returns the same struct dict as `parse_pdb`.
+    """
+    from codlad_tpu.data.xtc import read_xtc
+
+    models0, order, res_names, file_atoms = parse_pdb(
+        pdb_path, return_topology=True)
+    kept_idx = [i for i, (_, _, keep) in enumerate(file_atoms) if keep]
+    kept_atoms = [(k, n) for (k, n, keep) in file_atoms if keep]
+
+    models = []
+    for xp in xtc_paths:
+        traj = read_xtc(xp, stride=stride, max_frames=max_frames)
+        xyz = traj["xyz"] * 10.0   # nm -> Å
+        if xyz.shape[1] != len(file_atoms):
+            raise PDBParseError(
+                f"{xp}: {xyz.shape[1]} atoms vs topology "
+                f"{len(file_atoms)} in {pdb_path}")
+        sel = xyz[:, kept_idx]
+        for f in range(sel.shape[0]):
+            model = {}
+            for (key, name), p in zip(kept_atoms, sel[f]):
+                model.setdefault(key, {})[name] = (
+                    float(p[0]), float(p[1]), float(p[2]))
+            models.append(model)
+        if max_frames is not None and len(models) >= max_frames:
+            models = models[:max_frames]
+            break
+    if not models:
+        raise PDBParseError(f"no xtc frames loaded for {pdb_path}")
+    return _build_struct(models, order, res_names, pdb_path)
 
 
 def write_pdb(path, res_type_og, chain_id_og, xyz14_frames, cg_xyz_og=None):

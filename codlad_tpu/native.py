@@ -50,6 +50,17 @@ def load():
                 ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int64, ctypes.c_double,
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+            lib.xtc_decode.restype = ctypes.c_int
+            lib.xtc_decode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32, ctypes.c_float, ctypes.POINTER(ctypes.c_float)]
+            lib.xtc_encode.restype = ctypes.c_int64
+            lib.xtc_encode.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_float,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32)]
             _lib = lib
         except Exception:
             _lib = None
@@ -101,3 +112,47 @@ def radius_graph(xyz, valid, cutoff):
     d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
     ii, jj = np.where((d <= cutoff) & np.triu(np.ones((n, n), dtype=bool), k=1))
     return np.stack([ii, jj], axis=-1).astype(np.int32)
+
+
+def xtc_decode(data, natoms, minint, maxint, smallidx, precision):
+    """Decode a 3dfcoord payload -> [natoms, 3] float32, or None if the
+    native library is unavailable (caller falls back to pure Python)."""
+    lib = load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    mi = np.asarray(minint, dtype=np.int32)
+    ma = np.asarray(maxint, dtype=np.int32)
+    out = np.empty((int(natoms), 3), dtype=np.float32)
+    rc = lib.xtc_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+        int(natoms), mi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ma.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), int(smallidx),
+        float(precision), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        raise ValueError(f"xtc_decode failed (rc={rc})")
+    return out
+
+
+def xtc_encode(xyz, precision):
+    """Encode [N, 3] float32 -> (payload bytes, minint, maxint, smallidx),
+    or None if the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    xyz = np.ascontiguousarray(xyz, dtype=np.float32)
+    n = xyz.shape[0]
+    cap = max(n * 16, 4096)
+    mi = np.empty(3, np.int32)
+    ma = np.empty(3, np.int32)
+    si = np.empty(1, np.int32)
+    out = np.empty(cap, np.uint8)
+    nb = lib.xtc_encode(
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        float(precision), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap, mi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ma.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        si.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if nb < 0:
+        raise ValueError(f"xtc_encode failed (rc={nb})")
+    return bytes(out[:nb]), mi.tolist(), ma.tolist(), int(si[0])
