@@ -55,6 +55,46 @@ def spec_for(examples, length_multiple=16, edge_multiple=512) -> PadSpec:
     return PadSpec(L=L, **caps)
 
 
+# Global length lattice: ~1.33x geometric steps so any dataset lands on a
+# handful of shared compilation buckets (<= 33% padding waste) instead of
+# one XLA program per protein length.
+LENGTH_LATTICE = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024,
+                  1536, 2048)
+
+
+def _lattice_up(n, lattice=LENGTH_LATTICE):
+    for v in lattice:
+        if n <= v:
+            return v
+    return _round_up(n, lattice[-1])
+
+
+def _pow2_up(n, minimum=512):
+    v = minimum
+    while v < n:
+        v *= 2
+    return v
+
+
+def quantize_spec(spec: PadSpec) -> PadSpec:
+    """Snap a PadSpec onto the global bucket lattice (length lattice +
+    power-of-two edge caps).  Full cross-protein bucket sharing
+    additionally unifies edge caps per L-bucket at dataset level —
+    see shards.align_shard_buckets (edge densities vary ~10x between
+    extended and globular chains, so fixed L->edges ratios would waste
+    compute in the per-edge tensor products)."""
+    caps = {k: _pow2_up(spec.edge_capacity(k)) for k in EDGE_KEYS}
+    return PadSpec(L=_lattice_up(spec.L), **caps)
+
+
+def merge_specs(specs) -> PadSpec:
+    """Upper envelope of PadSpecs (same or mixed L)."""
+    specs = list(specs)
+    return PadSpec(
+        L=max(s.L for s in specs),
+        **{k: max(s.edge_capacity(k) for s in specs) for k in EDGE_KEYS})
+
+
 def pad_example(ex, spec: PadSpec):
     """Pad one example to a PadSpec; returns dict of fixed-shape arrays."""
     L = spec.L

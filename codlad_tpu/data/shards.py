@@ -23,8 +23,11 @@ _STACK_KEYS = None  # all example keys are stackable per protein after padding
 
 
 def save_protein_shard(path, examples, spec: B.PadSpec | None = None):
-    """Featurized frames of ONE protein -> a padded .npz shard."""
-    spec = spec or B.spec_for(examples)
+    """Featurized frames of ONE protein -> a padded .npz shard.
+
+    The spec is snapped onto the global bucket lattice (batch.quantize_spec)
+    so shards of different proteins share XLA compilation buckets."""
+    spec = spec or B.quantize_spec(B.spec_for(examples))
     stacked = B.collate(examples, spec)
     np.savez_compressed(path, __spec__=np.array(json.dumps(dataclasses.asdict(spec))),
                         **stacked)
@@ -53,13 +56,87 @@ def preprocess_structure(struct, prot_idx=0, cfg: FeaturizeConfig | None = None,
     return examples
 
 
+def repad_shard_data(data, old_spec: B.PadSpec, new_spec: B.PadSpec):
+    """Grow a shard's padded arrays from old_spec to new_spec (same or
+    larger extents; padding rows carry False masks / zeros)."""
+    out = {}
+    grow_L = new_spec.L - old_spec.L
+    for k, v in data.items():
+        if k in B.EDGE_KEYS or (k.endswith("_mask") and k[:-5] in B.EDGE_KEYS):
+            key = k if k in B.EDGE_KEYS else k[:-5]
+            grow = new_spec.edge_capacity(key) - old_spec.edge_capacity(key)
+            pad = [(0, 0)] * v.ndim
+            pad[1] = (0, grow)
+            out[k] = np.pad(v, pad)
+        elif v.ndim >= 2 and v.shape[1] in (old_spec.L, old_spec.L + 2):
+            pad = [(0, 0)] * v.ndim
+            pad[1] = (0, grow_L)
+            out[k] = np.pad(v, pad)
+        else:
+            out[k] = v
+    return out
+
+
+def align_shard_buckets(directory):
+    """Unify PadSpecs across a shard directory so proteins share XLA
+    compilation buckets: within each length bucket, every shard is re-padded
+    to the per-L upper envelope of edge capacities.  Round 1 compiled one
+    program per protein (first 89 s, ~13 s per new shape); after alignment
+    an eval over N proteins compiles once per distinct L bucket."""
+    files = sorted(f for f in os.listdir(directory) if f.endswith(".npz"))
+    by_L = {}
+    specs = {}
+    for f in files:
+        spec, _ = load_protein_shard(os.path.join(directory, f))
+        specs[f] = spec
+        by_L.setdefault(spec.L, []).append(f)
+    merged = {L: B.merge_specs(specs[f] for f in group)
+              for L, group in by_L.items()}
+    for f in files:
+        new_spec = merged[specs[f].L]
+        if new_spec == specs[f]:
+            continue
+        path = os.path.join(directory, f)
+        _, data = load_protein_shard(path)
+        data = repad_shard_data(data, specs[f], new_spec)
+        np.savez_compressed(
+            path, __spec__=np.array(json.dumps(dataclasses.asdict(new_spec))),
+            **data)
+    return merged
+
+
+def iter_padded_batches(data, batch_size, idx):
+    """Yield constant-size batches covering every index in `idx` exactly
+    once.  The final partial batch is padded back to `batch_size` by
+    repeating the first selected frame with every `*mask` key zeroed, so
+    masked losses/metrics ignore the padding and the batch shape stays
+    compile-stable (reference DataLoaders keep partial batches,
+    drop_last=False — train_vqvae.py:58-66)."""
+    for s in range(0, idx.size, batch_size):
+        sel = idx[s:s + batch_size]
+        valid = sel.size
+        if valid < batch_size:
+            sel = np.concatenate(
+                [sel, np.full(batch_size - valid, sel[0], dtype=sel.dtype)])
+        out = {k: v[sel] for k, v in data.items()}
+        if valid < batch_size:
+            for k, v in out.items():
+                if k.endswith("mask"):
+                    v = v.copy()
+                    v[valid:] = False if v.dtype == bool else 0
+                    out[k] = v
+        yield out
+
+
 class ShardDataset:
     """Streams frame batches from a directory of per-protein shards.
 
     Frames of one shard share a PadSpec; batches never mix shards (the
     reference trains with batch_size 4 over per-protein pickles the same
     way, train_vqvae.py:58-66).  Shard order shuffles per epoch; frames
-    shuffle within a shard (reference dataset_module.py:72-92).
+    shuffle within a shard (reference dataset_module.py:72-92).  Every
+    frame appears exactly once per epoch: the tail batch is padded with
+    mask-zeroed duplicates instead of being dropped.
     """
 
     def __init__(self, directory, batch_size, seed=0, shuffle=True):
@@ -82,14 +159,12 @@ class ShardDataset:
             idx = np.arange(n)
             if self.shuffle:
                 self._rng.shuffle(idx)
-            bs = min(self.batch_size, n)
-            for s in range(0, n - bs + 1, bs):
-                sel = idx[s:s + bs]
-                yield {k: v[sel] for k, v in data.items()}
+            yield from iter_padded_batches(data, self.batch_size, idx)
 
     def epoch_batches(self):
         total = 0
         for fname in self.files:
             _, data = load_protein_shard(os.path.join(self.directory, fname))
-            total += data["res_type"].shape[0] // self.batch_size
+            n = data["res_type"].shape[0]
+            total += -(-n // self.batch_size)
         return total

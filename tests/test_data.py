@@ -128,3 +128,70 @@ def test_load_reference_norm_stats():
     m2, s2 = load_reference_stats(path, "N6", "IDRome_test_7")
     m1, s1 = load_reference_stats(path, "N6", "PED")
     np.testing.assert_allclose(m1, m2)
+
+
+def test_shard_dataset_covers_every_frame_once(tmp_path):
+    """Epoch tail batches are padded, not dropped: each frame index appears
+    exactly once per epoch and padded rows carry zeroed masks."""
+    from codlad_tpu.data.shards import ShardDataset, save_protein_shard
+
+    for p, n_frames in [(0, 5), (1, 3), (2, 9)]:
+        exs = synthetic_examples(1, 8, seed=p) * n_frames
+        for i, ex in enumerate(exs):
+            ex = dict(ex)
+            ex["prot_idx"] = np.array(p * 100 + i)  # unique frame tag
+            exs[i] = ex
+        save_protein_shard(tmp_path / f"prot{p}.npz", exs)
+
+    ds = ShardDataset(str(tmp_path), batch_size=4, seed=0)
+    seen = []
+    n_batches = 0
+    for b in ds:
+        n_batches += 1
+        assert b["res_type"].shape[0] == 4  # constant batch shape
+        valid = b["res_mask"].any(axis=tuple(range(1, b["res_mask"].ndim)))
+        seen.extend(np.asarray(b["prot_idx"])[valid].tolist())
+        # padded rows: every mask key zeroed
+        for k, v in b.items():
+            if k.endswith("mask"):
+                assert not v[~valid].any()
+    assert n_batches == ds.epoch_batches() == 2 + 1 + 3
+    assert sorted(seen) == sorted(
+        [0 + i for i in range(5)] + [100 + i for i in range(3)]
+        + [200 + i for i in range(9)])
+
+
+def test_quantized_specs_share_buckets(tmp_path):
+    """Cross-shard bucket alignment: different protein sizes land on a
+    shared PadSpec lattice, so eval over N proteins compiles O(1) programs
+    (round-1 weakness: one XLA program per protein length)."""
+    from codlad_tpu.data.shards import (ShardDataset, align_shard_buckets,
+                                        save_protein_shard)
+
+    for p, n_res in enumerate([18, 22, 27, 30]):
+        exs = synthetic_examples(2, n_res, seed=p)
+        save_protein_shard(tmp_path / f"p{p}.npz", exs)
+    merged = align_shard_buckets(tmp_path)
+    assert len(merged) <= 2  # L buckets: 16 and 32
+
+    ds = ShardDataset(str(tmp_path), batch_size=2, shuffle=False)
+    shapes = set()
+    for b in ds:
+        shapes.add(tuple(sorted((k, v.shape) for k, v in b.items())))
+        # alignment must not disturb content: valid rows keep their masks
+        assert b["res_mask"].any()
+    assert len(shapes) <= 2, f"expected shared buckets, got {len(shapes)}"
+
+
+def test_quantize_spec_lattice():
+    from codlad_tpu.data.batch import PadSpec, quantize_spec
+
+    spec = PadSpec(L=70, atom_edges=3000, cg_edges=600, bond_edges=900,
+                   clash_edges=5000, inter_edges=40, pipi_pairs=12,
+                   bb_no_edges=130)
+    q = quantize_spec(spec)
+    assert q.L == 96
+    assert q.atom_edges == 4096 and q.cg_edges == 1024
+    assert q.pipi_pairs == 512  # minimum cap
+    # idempotent
+    assert quantize_spec(q) == q
