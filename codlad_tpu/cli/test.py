@@ -39,11 +39,20 @@ def build_parser():
     p.add_argument("--batch_size", type=int, default=96)
     p.add_argument("--method", type=str, default="euler",
                    help="ODE solver for flow models (euler/midpoint/rk4/dopri5)")
+    p.add_argument("--rtol", type=float, default=1e-5,
+                   help="dopri5 relative tolerance (reference test.py:235)")
+    p.add_argument("--atol", type=float, default=1e-5,
+                   help="dopri5 absolute tolerance")
     p.add_argument("--stats_name", type=str, default=None)
     p.add_argument("--stats_dir", type=str, default="datasets/miu_and_sigma")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--use_ema", action="store_true", default=True)
-    p.add_argument("--save_pdb", action="store_true", default=False)
+    p.add_argument("--save_pdb", action="store_true", default=False,
+                   help="export generated ensembles as multi-MODEL PDB "
+                        "(reference test.py:804-816)")
+    p.add_argument("--save_xtc", action="store_true", default=False,
+                   help="export generated ensembles as xtc trajectories "
+                        "(reference test.py:787-803)")
     p.add_argument("--doubled_batch", action="store_true", default=False,
                    help="reproduce the reference's doubled-batch sampling")
     p.add_argument("--bf16", action="store_true", default=True)
@@ -70,6 +79,33 @@ def _genz_sample(model):
         return ic_recon, xyz14
 
     return fn
+
+
+def _export_ensembles(args, fname, batch, structures):
+    """Dump generated ensembles per protein (reference test.py:787-816:
+    xtc via mdtraj + pdb; here multi-MODEL PDB via data/pdb.py and xtc via
+    the self-contained codec).  structures: [S, B, L, 14, 3] Å."""
+    import numpy as np
+
+    from codlad_tpu.data.pdb import write_pdb
+    from codlad_tpu.data.xtc import write_xtc
+    from codlad_tpu.geometry import residues as R
+
+    base = fname.replace(".npz", "")
+    S, B, L = structures.shape[:3]
+    res_type = np.asarray(batch["res_type"][0])
+    n_valid = int(np.asarray(batch["res_mask"][0]).sum())
+    res_type = res_type[:n_valid]
+    frames = structures[:, 0, :n_valid]          # ensemble of frame 0
+    if args.save_pdb:
+        og_res = np.concatenate([res_type[:1], res_type, res_type[-1:]])
+        write_pdb(os.path.join(args.out_dir, f"{base}_gen.pdb"),
+                  og_res, np.zeros_like(og_res), frames)
+    if args.save_xtc:
+        exists = R.ATOM14_EXISTS[res_type]        # [L, 14]
+        flat = frames[:, exists]                  # [S, n_atoms, 3] Å
+        write_xtc(os.path.join(args.out_dir, f"{base}_gen.xtc"),
+                  flat / 10.0)                    # Å -> nm
 
 
 def _load_vae(args):
@@ -180,7 +216,9 @@ def main(argv=None):
         process_kind=args.model, vae=vae, vae_params=vae_state.params,
         vq_state=vae_state.vq_state, norm_mean=mean, norm_std=std,
         latent_size=latent_size, doubled_batch=args.doubled_batch,
+        cfg_scale=args.cfg_scale,
         ode_steps=args.num_sampling_steps, ode_method=args.method,
+        ode_rtol=args.rtol, ode_atol=args.atol,
         compute_dtype=jnp.bfloat16 if args.bf16 else None)
 
     data = ShardDataset(args.data_dir, args.batch_size, shuffle=False)
@@ -191,21 +229,27 @@ def main(argv=None):
         n = min(shard["res_type"].shape[0], args.batch_size)
         batch = {k: jnp.asarray(v[:n]) for k, v in shard.items()}
         t0 = time.time()
+        export = args.save_pdb or args.save_xtc
+        log_fn = (lambda s, m: print(
+            f"  {fname} ensemble {s}: " +
+            " ".join(f"{k}={v:.4f}" for k, v in m.items()), flush=True))
+        structures = None
         if args.experiment == "latent":
-            agg = run_ensemble(pipeline, batch, args.num_ensemble, seed=args.seed)
+            agg = run_ensemble(pipeline, batch, args.num_ensemble,
+                               seed=args.seed, return_structures=export,
+                               log_fn=log_fn)
+            if export:
+                agg, structures = agg
         elif args.experiment == "genzprot":
             # decode latents sampled from the CG-conditioned prior
             # (reference test.py:499,555: GenZProt C2 path)
-            from codlad_tpu.eval.harness import evaluate_structures
-
-            per = []
-            for sidx in range(args.num_ensemble):
-                ic_recon, xyz14 = _genz_sample(vae)(
-                    vae_state.params, batch,
-                    jax.random.PRNGKey(args.seed + sidx))
-                per.append({k: float(v) for k, v in
-                            evaluate_structures(batch, ic_recon, xyz14).items()})
-            agg = {k: float(np.mean([m[k] for m in per])) for k in per[0]}
+            sample_fn = lambda rng, b: _genz_sample(vae)(
+                vae_state.params, b, rng)
+            agg = run_ensemble(pipeline, batch, args.num_ensemble,
+                               seed=args.seed, sample_fn=sample_fn,
+                               return_structures=export, log_fn=log_fn)
+            if export:
+                agg, structures = agg
         else:
             from codlad_tpu.eval.harness import evaluate_structures
             h = pipeline.encode_latents(batch)
@@ -220,15 +264,24 @@ def main(argv=None):
                 og_chain = np.zeros_like(og_res)
                 write_pdb(os.path.join(args.out_dir, fname.replace(".npz", "_recon.pdb")),
                           np.asarray(og_res), og_chain, np.asarray(xyz14))
+        if structures is not None:
+            _export_ensembles(args, fname, batch, structures)
         agg["wallclock_sec"] = time.time() - t0
         summary[fname] = agg
-        print(f"{fname}: " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()),
-              flush=True)
+        print(f"{fname}: " + " ".join(
+            f"{k}={v:.4f}" for k, v in agg.items() if np.isscalar(v)),
+            flush=True)
 
-    keys = next(iter(summary.values())).keys()
-    summary["__global__"] = {
-        k: float(np.mean([v[k] for v in summary.values() if k in v]))
-        for k in keys}
+    # global mean +- std over proteins (reference test.py:821-889)
+    keys = [k for k, v in next(iter(summary.values())).items()
+            if np.isscalar(v)]
+    per_protein = {k: [v[k] for v in summary.values() if k in v]
+                   for k in keys}
+    summary["__global__"] = {k: float(np.mean(vs))
+                             for k, vs in per_protein.items()}
+    summary["__global_stats__"] = {
+        k: {"mean": float(np.mean(vs)), "std": float(np.std(vs))}
+        for k, vs in per_protein.items()}
     summary["__global__"]["total_sec"] = time.time() - t_start
     with open(os.path.join(args.out_dir, "summary_stats.json"), "w") as f:
         json.dump(summary, f, indent=2)

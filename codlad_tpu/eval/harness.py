@@ -46,8 +46,11 @@ class SamplingPipeline:
     norm_std: np.ndarray
     latent_size: int = 3
     doubled_batch: bool = False
+    cfg_scale: float = 0.0
     ode_steps: int = 100
     ode_method: str = "euler"
+    ode_rtol: float = 1e-5
+    ode_atol: float = 1e-5
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for fast sampling
 
     # All jitted functions take arrays as ARGUMENTS (never as closure
@@ -82,12 +85,46 @@ class SamplingPipeline:
                                       method=self._denoiser_cls().denoise)
             return out.astype(jnp.float32)
 
+        return self._run_process(rng, model_fn, noise)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _sample_from_cond_cfg(self, rng, params, cond, uncond, noise,
+                              cfg_scale):
+        """Classifier-free guidance: cond and uncond evaluated on the SAME
+        trajectory each step (one denoise over a condition-doubled batch),
+        mean combined as uncond + s*(cond - uncond), variance channels from
+        the conditioned branch.  Fixes the reference's broken cfg>1 path
+        (test.py:525 calls an undefined forward_with_cfg) and avoids the
+        DiT-style half-trajectory divergence (independently noised halves
+        evaluate uncond off-trajectory)."""
+        cond2 = jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0),
+                             cond, uncond)
+
+        def model_fn(x, t, k, x_self_cond=None):
+            xin = x if self.compute_dtype is None else x.astype(self.compute_dtype)
+            x2 = jnp.concatenate([xin, xin], 0)
+            t2 = jnp.concatenate([t, t], 0)
+            sc2 = (None if x_self_cond is None
+                   else jnp.concatenate([x_self_cond, x_self_cond], 0))
+            out = self.denoiser.apply(params, x2, t2, cond2,
+                                      x_self_cond=sc2, deterministic=True,
+                                      method=self._denoiser_cls().denoise
+                                      ).astype(jnp.float32)
+            c, u = out[:x.shape[0]], out[x.shape[0]:]
+            C = self.latent_size
+            mean = u[..., :C] + cfg_scale * (c[..., :C] - u[..., :C])
+            return jnp.concatenate([mean, c[..., C:]], axis=-1)
+
+        return self._run_process(rng, model_fn, noise)
+
+    def _run_process(self, rng, model_fn, noise):
         if self.process_kind == "diffusion":
             return self.process.p_sample_loop(rng, model_fn, noise.shape,
                                               noise=noise, clip_denoised=False)
         f = lambda t, x: model_fn(x, jnp.full((noise.shape[0],), t), None)
         out, _ = odeint(f, noise, 0.0, 1.0, steps=self.ode_steps,
-                        method=self.ode_method)
+                        method=self.ode_method, rtol=self.ode_rtol,
+                        atol=self.ode_atol)
         return out
 
     def sample_latents(self, rng, extras, params=None):
@@ -97,6 +134,16 @@ class SamplingPipeline:
         B, L = extras["res_type"].shape
         rng, sub = jax.random.split(rng)
         z = jax.random.normal(sub, (B, L, self.latent_size))
+        if self.cfg_scale and self.cfg_scale != 0.0:
+            # guidance needs an unconditional surrogate: residue-type 0
+            # everywhere (unknown sequence) — conditioning is structural
+            cond = self._compute_condition(params, extras)
+            uncond_extras = dict(extras,
+                                 res_type=jnp.zeros_like(extras["res_type"]))
+            uncond = self._compute_condition(params, uncond_extras)
+            return self._sample_from_cond_cfg(
+                rng, params, cond, uncond, z,
+                jnp.float32(self.cfg_scale))[:B]
         if self.doubled_batch:
             # reference pushes a doubled batch even at cfg 0.0
             # (test.py:504-535); halves are identical
@@ -190,21 +237,42 @@ def _recon_terms(batch, ic_recon):
     return bond, angle, torsion
 
 
-def run_ensemble(pipeline: SamplingPipeline, batch, num_ensemble, seed=0):
+def run_ensemble(pipeline: SamplingPipeline, batch, num_ensemble, seed=0,
+                 sample_fn=None, return_structures=False, log_fn=None):
     """Generate an ensemble, collect per-sample metrics + DIV (reference
-    test.py:455-710 loops)."""
+    test.py:455-710 loops).
+
+    sample_fn(rng, batch) -> (ic_recon, xyz14) overrides the pipeline's
+    sample_and_decode (e.g. the GenZProt prior path).  The returned agg
+    carries the ensemble mean per metric plus `per_ensemble` — the
+    per-sample metric dicts the reference prints per ensemble member
+    (test.py:656-676).  With return_structures=True, also returns the
+    generated xyz14 stack [S, B, L, 14, 3] for artifact export
+    (reference dumps xtc/pdb per protein, test.py:787-816)."""
+    sample_fn = sample_fn or pipeline.sample_and_decode
     gens = []
+    structures = []
     per_sample = []
     for s in range(num_ensemble):
         rng = jax.random.PRNGKey(seed + s)
-        ic_recon, xyz14 = pipeline.sample_and_decode(rng, batch)
-        per_sample.append(evaluate_structures(batch, ic_recon, xyz14))
+        ic_recon, xyz14 = sample_fn(rng, batch)
+        m = {k: float(v) for k, v in
+             evaluate_structures(batch, ic_recon, xyz14).items()}
+        per_sample.append(m)
+        if log_fn is not None:
+            log_fn(s, m)
         keep = (~batch["endpoint_mask"])[..., None] & batch["atom_mask"]
         gens.append(jnp.where(keep[..., None], xyz14, 0.0).reshape(xyz14.shape[0], -1, 3))
+        if return_structures:
+            structures.append(np.asarray(xyz14))
     keep = (~batch["endpoint_mask"])[..., None] & batch["atom_mask"]
     flat_mask = keep.reshape(keep.shape[0], -1)
     ref = jnp.where(keep[..., None], batch["xyz14"], 0.0).reshape(flat_mask.shape + (3,))
     div, rmsd_ref, rmsd_gen = M.diversity(jnp.stack(gens), ref, flat_mask)
-    agg = {k: float(np.mean([float(m[k]) for m in per_sample])) for k in per_sample[0]}
-    agg.update(div=float(div), rmsd_ref_ens=float(rmsd_ref), rmsd_gen_ens=float(rmsd_gen))
+    agg = {k: float(np.mean([m[k] for m in per_sample])) for k in per_sample[0]}
+    agg.update(div=float(div), rmsd_ref_ens=float(rmsd_ref),
+               rmsd_gen_ens=float(rmsd_gen))
+    agg["per_ensemble"] = per_sample
+    if return_structures:
+        return agg, np.stack(structures)
     return agg

@@ -12,10 +12,13 @@ import jax
 import jax.numpy as jnp
 
 
-def odeint(f, x0, t0=0.0, t1=1.0, steps=100, method="euler"):
+def odeint(f, x0, t0=0.0, t1=1.0, steps=100, method="euler",
+           rtol=1e-5, atol=1e-5):
     """Integrate dx/dt = f(t, x) from t0 to t1. Returns (x1, nfe).
 
-    f(t: scalar, x) -> dx. Fixed-step methods scan `steps` intervals.
+    f(t: scalar, x) -> dx. Fixed-step methods scan `steps` intervals;
+    rtol/atol apply to dopri5 only (reference: torchdiffeq odeint
+    tolerances, test.py:235-237).
     """
     dt = (t1 - t0) / steps
 
@@ -40,7 +43,8 @@ def odeint(f, x0, t0=0.0, t1=1.0, steps=100, method="euler"):
             return x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4), None
         nfe_per = 4
     elif method == "dopri5":
-        return _dopri5(f, x0, t0, t1, max_steps=steps * 4)
+        return _dopri5(f, x0, t0, t1, rtol=rtol, atol=atol,
+                       max_steps=steps * 4)
     else:
         raise ValueError(method)
 

@@ -77,10 +77,20 @@ def test_full_pipeline(workdir):
         "--data_dir", shards_dir, "--out_dir", out_dir2,
         "--num_sampling_steps", "4", "--num_ensemble", "2",
         "--stats_name", "TEST", "--stats_dir", stats_dir,
-        "--batch_size", "2",
+        "--batch_size", "2", "--save_pdb", "--save_xtc",
     ])
     g2 = summary2["__global__"]
     assert np.isfinite(g2["rmsd"]) and np.isfinite(g2["div"])
+    # reporting parity: per-ensemble stats + global mean/std + artifacts
+    prot_key = next(k for k in summary2 if not k.startswith("__"))
+    assert len(summary2[prot_key]["per_ensemble"]) == 2
+    assert set(summary2["__global_stats__"]["rmsd"]) == {"mean", "std"}
+    gen_pdbs = [f for f in os.listdir(out_dir2) if f.endswith("_gen.pdb")]
+    gen_xtcs = [f for f in os.listdir(out_dir2) if f.endswith("_gen.xtc")]
+    assert gen_pdbs and gen_xtcs, "latent ensemble artifact export missing"
+    from codlad_tpu.data.xtc import read_xtc
+    traj = read_xtc(os.path.join(out_dir2, gen_xtcs[0]))
+    assert traj["xyz"].shape[0] == 2  # num_ensemble frames
 
 
 def test_pdb_roundtrip(workdir):

@@ -124,3 +124,43 @@ def test_flow_sampling_pipeline(setup):
         ode_steps=8, ode_method="midpoint")
     ic_recon, xyz14 = flow_pipe.sample_and_decode(jax.random.PRNGKey(1), batch)
     assert np.isfinite(np.asarray(xyz14)).all()
+
+
+def test_cfg_scales(setup):
+    """cfg wiring (reference's broken test.py:525 path, fixed here):
+    cfg=1 reproduces the unguided sample exactly (u + 1*(c-u) = c on the
+    same trajectory/rng); cfg=1.5 changes the sample."""
+    import dataclasses
+    import dataclasses as dc
+
+    batch, pipeline = setup
+    # at init the adaLN gates zero the trunk (reference quirk, ROADMAP 7),
+    # making cond == uncond — jitter params so guidance has signal
+    leaves, treedef = jax.tree_util.tree_flatten(pipeline.denoiser_params)
+    keys = jax.random.split(jax.random.PRNGKey(123), len(leaves))
+    jittered = treedef.unflatten([
+        p + 0.02 * jax.random.normal(k, p.shape, p.dtype)
+        for p, k in zip(leaves, keys)])
+    from codlad_tpu.gen.diffusion import create_diffusion
+    pipeline = dc.replace(pipeline, denoiser_params=jittered,
+                          process=create_diffusion("ddim2",
+                                                   diffusion_steps=100))
+
+    extras = {"res_type": batch["res_type"],
+              "cg_xyz": batch["cg_xyz_og"][:, 1:-1],
+              "mask": batch["res_mask"]}
+    rng = jax.random.PRNGKey(7)
+    base = np.asarray(pipeline.sample_latents(rng, extras))
+    # cfg disabled (reference README uses --cfg_scale 0.0): plain path,
+    # bit-exact
+    cfg0 = dataclasses.replace(pipeline, cfg_scale=0.0).sample_latents(rng, extras)
+    np.testing.assert_array_equal(np.asarray(cfg0), base)
+    # s=1: u + 1*(c-u) = c analytically; only XLA fusion rounding differs
+    # between the B and 2B programs
+    cfg1 = np.asarray(dataclasses.replace(pipeline, cfg_scale=1.0)
+                      .sample_latents(rng, extras))
+    np.testing.assert_allclose(cfg1, base, rtol=2e-2, atol=2e-2)
+    # s=1.5: guidance must actually move the sample
+    cfg15 = np.asarray(dataclasses.replace(pipeline, cfg_scale=1.5)
+                       .sample_latents(rng, extras))
+    assert np.abs(cfg15 - base).max() > 1e-3
