@@ -20,12 +20,27 @@ def maybe_init_distributed():
     coordinator env vars are present (no-op single-host).  Call before any
     device access in multi-host launches; per-host data loading then keys
     off jax.process_index() (the TPU equivalent of the reference's
-    per-process batch split, train_latent.py:54)."""
+    per-process batch split, train_latent.py:54).
+
+    Explicit JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    env vars are honored directly (works for any launcher, incl. the
+    2-process CPU test, tests/test_multihost.py); on TPU pods with
+    auto-detected topology, plain COORDINATOR_ADDRESS triggers the no-arg
+    auto path."""
     import os
 
-    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if addr:
+        kwargs = {}
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            kwargs["coordinator_address"] = addr
+            if os.environ.get("JAX_NUM_PROCESSES"):
+                kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+            if os.environ.get("JAX_PROCESS_ID"):
+                kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kwargs)
         except Exception:
             # already initialized, or a coordinator env var that does not
             # belong to a jax launch — proceed single-host either way
@@ -53,8 +68,14 @@ def replicated(mesh):
 
 
 def shard_batch(batch, mesh, axis="data"):
-    """Place a host batch dict with its leading dim sharded over the mesh."""
+    """Place a host batch dict with its leading dim sharded over the mesh.
+
+    Multi-host: each process passes its LOCAL rows (per-host data loading)
+    and the result is the concatenated global array."""
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
