@@ -29,6 +29,10 @@ def main(argv=None):
                    help="if set, save channel mean/std as this name")
     p.add_argument("--stats_dir", type=str, default="datasets/miu_and_sigma")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--learn_sigma", action="store_true", default=False,
+                   help="save mu||sigma concat latents for the vae paths "
+                        "(reference CustomDataset learn_sigma variant, "
+                        "dataset_module.py:419-454)")
     args = p.parse_args(argv)
 
     import jax
@@ -69,6 +73,10 @@ def main(argv=None):
     def encode(b, key):
         h, (mu, sigma) = vae.apply(state.params, b, method=VAE.encode)
         if mode in ("fgvae", "cgvae"):
+            if args.learn_sigma:
+                # mu||sigma concat (reference CustomDataset learn_sigma,
+                # dataset_module.py:419-454)
+                return jnp.concatenate([mu, sigma], axis=-1)
             # reference extracts REPARAMETRIZED latents for the vae paths
             # (vae_model.py:802-828 get_latent_wovq)
             h = mu + sigma * jax.random.normal(key, sigma.shape)
@@ -104,10 +112,40 @@ def main(argv=None):
 
     active = int((usage > 0).sum())
     np.save(os.path.join(args.out_dir, "codebook_usage.npy"), usage)
+    if state.vq_state is not None:
+        _dump_codebook_usage(args.out_dir, usage)
     with open(os.path.join(args.out_dir, "manifest.json"), "w") as f:
         json.dump({"files": data.files, "codebook_active": active}, f, indent=2)
     if state.vq_state is not None:
         print(f"codebook usage: {active}/{len(usage)} codes active")
+
+
+def _dump_codebook_usage(out_dir, usage):
+    """CSV + PNG of codebook-usage counts (reference extract_features.py:
+    23-53 `plot_hist_and_save`)."""
+    import csv
+
+    with open(os.path.join(out_dir, "codebook_usage.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["code", "count"])
+        for i, c in enumerate(usage):
+            w.writerow([i, int(c)])
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(8, 3))
+        ax.bar(np.arange(len(usage)), usage, width=1.0)
+        ax.set_xlabel("code index")
+        ax.set_ylabel("count")
+        active = int((usage > 0).sum())
+        ax.set_title(f"codebook usage: {active}/{len(usage)} active")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "codebook_usage.png"), dpi=100)
+        plt.close(fig)
+    except Exception as e:  # headless plotting is best-effort
+        print(f"codebook usage plot skipped: {e}")
 
 
 if __name__ == "__main__":

@@ -81,21 +81,21 @@ class FeatureDataset:
         files = list(self.files)
         if self.shuffle:
             self._rng.shuffle(files)
+        from codlad_tpu.data.shards import iter_padded_batches
+
         for fname in files:
             z = np.load(os.path.join(self.directory, fname))
             n = z["latents"].shape[0]
             idx = np.arange(n)
             if self.shuffle:
                 self._rng.shuffle(idx)
-            bs = min(self.batch_size, n)
-            for s in range(0, n - bs + 1, bs):
-                sel = idx[s:s + bs]
-                yield {
-                    "x1": z["latents"][sel],
-                    "res_type": z["res_type"][sel],
-                    "cg_xyz": z["cg_xyz_og"][sel][:, 1:-1],
-                    "mask": z["res_mask"][sel],
-                }
+            data = {
+                "x1": z["latents"],
+                "res_type": z["res_type"],
+                "cg_xyz": z["cg_xyz_og"][:, 1:-1],
+                "mask": z["res_mask"],
+            }
+            yield from iter_padded_batches(data, self.batch_size, idx)
 
 
 def main(argv=None):
@@ -116,6 +116,9 @@ def main(argv=None):
     from codlad_tpu.train.steps import make_latent_step
 
     logger = create_logger(args.exp)
+    from codlad_tpu.train.logging_utils import MetricsSink
+    sink = MetricsSink(args.exp, run_name=os.path.basename(args.exp),
+                       config=vars(args))
     ckpt = CheckpointManager(args.exp)
     ckpt.save_config(vars(args))
     logger.info(f"args: {vars(args)}")
@@ -222,6 +225,11 @@ def main(argv=None):
                     f"loss {float(metrics['loss']):.5f}{mse} "
                     f"grad_norm {float(metrics['grad_norm']):.4f} "
                     f"steps/sec {log_steps / dt:.3f}")
+                sink.log({"loss": metrics["loss"],
+                          "grad_norm": metrics["grad_norm"],
+                          "steps_per_sec": log_steps / dt,
+                          **({"mse": metrics["mse"]} if "mse" in metrics else {})},
+                         step=train_steps)
                 log_t0, log_steps = time.time(), 0
             if train_steps % args.save_step == 0:
                 ckpt.save(state, f"step_{train_steps}")
@@ -242,12 +250,15 @@ def main(argv=None):
             vlosses.append(float(m["loss"]))
         vloss = float(np.mean(vlosses)) if vlosses else np.nan
         logger.info(f"epoch {epoch}: val loss {vloss:.5f}")
+        sink.log({"loss": vloss, "epoch": epoch}, step=train_steps,
+                 split="val")
         if np.isfinite(vloss) and vloss < best_val:
             best_val = vloss
             ckpt.save(state, "best")
         ckpt.save(state, "last")
 
     ckpt.save(state, "last")
+    sink.finish()
     logger.info("training done")
     return state
 

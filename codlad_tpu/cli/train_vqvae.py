@@ -32,6 +32,9 @@ def build_parser():
     p.add_argument("-seed", type=int, default=12345)
     p.add_argument("-batch_size", type=int, default=4)
     p.add_argument("-nepochs", type=int, default=600)
+    p.add_argument("-save_every_epochs", type=int, default=10,
+                   help="periodic epoch_{N} checkpoints (reference saves "
+                        "model_{epoch}.pt every epoch, train_vqvae.py:303)")
     p.add_argument("-resume", action="store_true", default=False)
     p.add_argument("-lr", type=float, default=1e-3)
     p.add_argument("-factor", type=float, default=0.3)
@@ -140,6 +143,9 @@ def main(argv=None):
     fields = ["epoch", "train_loss", "val_loss", "recon", "graph", "clash",
               "inter", "xyz", "vq", "kl", "lr"]
     csvlog = CSVLogger(os.path.join(args.logdir, "train_log.csv"), fields)
+    from codlad_tpu.train.logging_utils import MetricsSink
+    sink = MetricsSink(args.logdir, run_name=os.path.basename(args.logdir),
+                       config=vars(args))
 
     base_w = LossWeights(beta=args.beta, delta=args.delta, eta=args.eta,
                          zeta=args.zeta, omega=args.omega, theta=args.theta)
@@ -182,6 +188,8 @@ def main(argv=None):
                        "inter": vm.get("inter"), "xyz": vm.get("xyz"),
                        "vq": vm.get("vq", 0), "kl": vm.get("kl", 0),
                        "lr": current_lr})
+        sink.log({"loss": tm.get("loss"), "lr": current_lr}, step=epoch)
+        sink.log({k: v for k, v in vm.items()}, step=epoch, split="val")
 
         if not np.isfinite(vm.get("loss", np.nan)):
             logger.info("NaN validation loss — aborting (reference behavior)")
@@ -203,8 +211,11 @@ def main(argv=None):
             best_val = smoothed
             ckpt.save(state, "best")
         ckpt.save(state, "last")
-        if epoch % 50 == 0:
-            ckpt.save(state, f"step_{int(state.step)}")
+        if args.save_every_epochs and epoch % args.save_every_epochs == 0:
+            # reference saves model_{epoch}.pt every epoch
+            # (train_vqvae.py:303-320); epoch granularity preserved for
+            # resume parity, default thinned to every 10
+            ckpt.save(state, f"epoch_{epoch}")
         if stopper(smoothed):
             logger.info("early stopping")
             break

@@ -126,3 +126,51 @@ class Timer:
         dt = now - self.t0
         self.t0 = now
         return dt
+
+
+class MetricsSink:
+    """Pluggable experiment-metric sink (the reference's wandb hooks,
+    utils/train_module.py:390-410 and train_latent.py logging).
+
+    Always writes JSONL (`metrics.jsonl`, one {step, split, **metrics} per
+    line — machine-readable the way wandb's history is); if wandb is
+    importable AND enabled, mirrors every log there.  Keeps trainers free
+    of any tracking-library imports.
+    """
+
+    def __init__(self, logdir, run_name=None, config=None, use_wandb="auto"):
+        os.makedirs(logdir, exist_ok=True)
+        self.path = os.path.join(logdir, "metrics.jsonl")
+        self._wandb = None
+        if use_wandb in (True, "auto"):
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project="codlad_tpu", name=run_name, config=config or {},
+                    dir=logdir, reinit=True)
+            except Exception:
+                if use_wandb is True:
+                    raise
+                self._wandb = None
+
+    def log(self, metrics, step=None, split="train"):
+        import json as _json
+
+        row = {"step": int(step) if step is not None else None,
+               "split": split}
+        for k, v in metrics.items():
+            try:
+                row[k] = float(v)
+            except (TypeError, ValueError):
+                row[k] = v
+        with open(self.path, "a") as f:
+            f.write(_json.dumps(row) + "\n")
+        if self._wandb is not None:
+            tagged = {f"{split}/{k}": v for k, v in row.items()
+                      if k not in ("step", "split")}
+            self._wandb.log(tagged, step=row["step"])
+
+    def finish(self):
+        if self._wandb is not None:
+            self._wandb.finish()
