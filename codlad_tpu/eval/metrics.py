@@ -114,21 +114,53 @@ def graph_validity(xyz14_gen, xyz14_ref, res_type, atom_mask, scale=1.3):
     mask = atom_mask.reshape(B, -1)
     cut = jnp.asarray(
         np.array([R.COVALENT_CUTOFF.get(i, 1.5) for i in range(120)], np.float32))[z]
-    cutoff = (cut[:, :, None] + cut[:, None, :]) * scale
-    pair_mask = (mask[:, :, None] & mask[:, None, :])
     N = mask.shape[1]
-    pair_mask = pair_mask & ~jnp.eye(N, dtype=bool)[None]
+    xg, xr = _flat(xyz14_gen), _flat(xyz14_ref)
 
-    def bonds(x):
-        d = jnp.sqrt(((x[:, :, None] - x[:, None, :]) ** 2).sum(-1) + EPS)
-        return (d < cutoff) & pair_mask
+    # Row-chunked scan: peak memory O(B*C*N) instead of the full O(B*N^2)
+    # distance matrices (which blow up past ~3k residues).
+    C = min(N, 1024)
+    pad = (-N) % C
+    nchunks = (N + pad) // C
 
-    bg = bonds(_flat(xyz14_gen))
-    br = bonds(_flat(xyz14_ref))
-    diff = (bg != br).sum((1, 2))
+    # row-sliced copies padded so every chunk slices in-bounds; column
+    # operands stay at the true N
+    if pad:
+        padded = lambda a: jnp.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
+        mask_r, cut_r, xg_r, xr_r = (padded(mask), padded(cut), padded(xg),
+                                     padded(xr))
+    else:
+        mask_r, cut_r, xg_r, xr_r = mask, cut, xg, xr
+
+    def chunk_stats(carry, i):
+        diff, net, nref = carry
+        sl = i * C
+        rows = lambda a: jax.lax.dynamic_slice_in_dim(a, sl, C, axis=1)
+        idx = sl + jnp.arange(C)
+        row_ok = rows(mask_r) & (idx < N)[None]
+        cutoff = (rows(cut_r)[:, :, None] + cut[:, None, :]) * scale
+        pm = (row_ok[:, :, None] & mask[:, None, :]
+              & (idx[None, :, None] != jnp.arange(N)[None, None, :]))
+
+        def bonds(xrow, xall):
+            d = jnp.sqrt(((xrow[:, :, None] - xall[:, None, :]) ** 2).sum(-1)
+                         + EPS)
+            return (d < cutoff) & pm
+
+        bg = bonds(rows(xg_r), xg)
+        br = bonds(rows(xr_r), xr)
+        diff += (bg != br).sum((1, 2))
+        net += (br.astype(jnp.int32) - bg.astype(jnp.int32)).sum((1, 2))
+        nref += br.sum((1, 2))
+        return (diff, net, nref), None
+
+    zero = jnp.zeros((B,), jnp.int32)
+    (diff, net, nref), _ = jax.lax.scan(chunk_stats, (zero, zero, zero),
+                                        jnp.arange(nchunks))
     valid = (diff == 0).astype(jnp.float32)
-    ratio = jnp.abs((br.astype(jnp.int32) - bg.astype(jnp.int32)).sum((1, 2))
-                    ).astype(jnp.float32) / jnp.maximum(br.sum((1, 2)), 1)
+    # reference ratio: |net signed difference| / ref bond count
+    # (protein_module.py:320: (ref - gen).sum().abs() / ref.sum())
+    ratio = jnp.abs(net).astype(jnp.float32) / jnp.maximum(nref, 1)
     return valid, ratio
 
 

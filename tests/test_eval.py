@@ -164,3 +164,39 @@ def test_cfg_scales(setup):
     cfg15 = np.asarray(dataclasses.replace(pipeline, cfg_scale=1.5)
                        .sample_latents(rng, extras))
     assert np.abs(cfg15 - base).max() > 1e-3
+
+
+def test_graph_validity_chunked_matches_dense():
+    """Chunked graph_validity (memory O(B*C*N)) agrees with a dense numpy
+    reference incl. the multi-chunk path (N > 1024) and the reference's
+    signed-net diff ratio (protein_module.py:320)."""
+    from codlad_tpu.data.synthetic import random_protein
+    from codlad_tpu.geometry import residues as R
+
+    rng = np.random.default_rng(17)
+    res_type_og, _, cg, xyz14 = random_protein(rng, 82)  # 80*14=1120 > 1024
+    res_type = res_type_og[1:-1][None]
+    gen = xyz14[None] + rng.normal(0, 0.35, xyz14.shape).astype(np.float32)
+    ref = xyz14[None]
+    amask = R.ATOM14_EXISTS[res_type]
+
+    valid, ratio = M.graph_validity(jnp.asarray(gen), jnp.asarray(ref),
+                                    jnp.asarray(res_type), jnp.asarray(amask))
+
+    # dense numpy reference
+    z = np.asarray(R.ATOM14_ATOMIC_NUM)[res_type].reshape(-1)
+    m = amask.reshape(-1)
+    cut = np.array([R.COVALENT_CUTOFF.get(i, 1.5) for i in range(120)])[z]
+    cutoff = (cut[:, None] + cut[None, :]) * 1.3
+    pm = (m[:, None] & m[None, :]) & ~np.eye(m.size, dtype=bool)
+
+    def bonds(x):
+        d = np.sqrt(((x[:, None] - x[None, :]) ** 2).sum(-1) + 1e-7)
+        return (d < cutoff) & pm
+
+    bg, br = bonds(gen.reshape(-1, 3)), bonds(ref.reshape(-1, 3))
+    exp_valid = float((bg != br).sum() == 0)
+    exp_ratio = abs(int(br.sum()) - int(bg.sum())) / max(int(br.sum()), 1)
+    assert float(valid[0]) == exp_valid
+    np.testing.assert_allclose(float(ratio[0]), exp_ratio, atol=1e-6)
+    assert (bg != br).sum() > 0  # perturbation actually broke bonds
