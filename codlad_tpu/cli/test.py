@@ -191,7 +191,9 @@ def main(argv=None):
         lat_cfg = lat_ckpt.load_config()
         learn_sigma = lat_cfg.get("model", "diffusion") in ("diffusion", "sbcfm")
         denoiser = MPNN_MODELS[lat_cfg.get("backbone", "mpnn_diffusion")](
-            input_size=latent_size, learn_sigma=learn_sigma, dropout=0.0)
+            input_size=latent_size, learn_sigma=learn_sigma, dropout=0.0,
+            adaln_mode=lat_cfg.get("adaln_mode", "trunk"),
+            self_condition=lat_cfg.get("self_condition", False))
         data0 = ShardDataset(args.data_dir, 1, shuffle=False)
         first = {k: jnp.asarray(v) for k, v in next(iter(data0)).items()}
         B0, L0 = first["res_type"].shape

@@ -57,6 +57,12 @@ def build_parser():
     p.add_argument("--model_ckpt", type=str, default=None,
                    help="warm-start weights from this checkpoint dir (no optimizer/step)")
     p.add_argument("--dropout", type=float, default=0.6)
+    p.add_argument("--adaln_mode", type=str, default="trunk",
+                   choices=["trunk", "residual"],
+                   help="'trunk' reproduces the reference adaLN (zero-init "
+                        "gates scale the whole trunk, protein_mpnn_utils.py:"
+                        "249,270); 'residual' is DiT-style branch gating — "
+                        "identity at init, a training-efficiency variant")
     p.add_argument("--t_sampler", type=str, default="uniform",
                    choices=["uniform", "loss_second_moment"],
                    help="diffusion timestep schedule sampler (the reference "
@@ -142,7 +148,8 @@ def main(argv=None):
     learn_sigma = args.model in ("diffusion", "sbcfm")
     model = MPNN_MODELS[args.backbone](
         input_size=args.latent_size, learn_sigma=learn_sigma,
-        self_condition=args.self_condition, dropout=args.dropout)
+        self_condition=args.self_condition, dropout=args.dropout,
+        adaln_mode=args.adaln_mode)
 
     first = next(iter(val))
     rng = jax.random.PRNGKey(args.seed)

@@ -58,6 +58,7 @@ class MPNNDenoiser(nn.Module):
     self_condition: bool = False
     final_adln: bool = True
     gather_mode: str = "auto"  # see nn.mpnn.make_neighbor_gather
+    adaln_mode: str = "trunk"  # 'trunk' (reference) | 'residual' (DiT-style)
 
     def setup(self):
         h = self.hidden_dim
@@ -68,9 +69,11 @@ class MPNNDenoiser(nn.Module):
         self.x_in = nn.Dense(h)
         self.w_e = nn.Dense(h)
         self.w_s = nn.Embed(self.vocab, h)
-        self.enc_layers = [EncLayerDiffusion(h, h * 2, dropout=self.dropout)
+        self.enc_layers = [EncLayerDiffusion(h, h * 2, dropout=self.dropout,
+                                             gate_mode=self.adaln_mode)
                            for _ in range(self.num_encoder_layers)]
-        self.dec_layers = [DecLayerDiffusion(h, h * 3, dropout=self.dropout)
+        self.dec_layers = [DecLayerDiffusion(h, h * 3, dropout=self.dropout,
+                                             gate_mode=self.adaln_mode)
                            for _ in range(self.num_decoder_layers)]
         out_size = self.input_size * (2 if self.learn_sigma else 1)
         if self.final_adln:

@@ -280,6 +280,7 @@ class EncLayerDiffusion(nn.Module):
     num_in: int
     dropout: float = 0.1
     scale: float = 30.0
+    gate_mode: str = "trunk"  # 'trunk' (reference) | 'residual' (DiT-style)
 
     @nn.compact
     def __call__(self, h_V, h_E, nbr, mask_V=None, mask_attend=None, c=None,
@@ -290,6 +291,25 @@ class EncLayerDiffusion(nn.Module):
 
         ln = lambda: nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        if self.gate_mode == "residual":
+            # DiT-style: gates scale the BRANCH, identity at init (the
+            # reference zeroes the whole trunk through the gate,
+            # protein_mpnn_utils.py:249,270 — see ROADMAP 7)
+            x = modulate(ln()(h_V), sh1, sc1)
+            dh = SplitMessageChain(self.num_hidden, reduce_sum=True,
+                                   scale=self.scale)(x, h_E, x, nbr,
+                                                     mask_attend=mask_attend)
+            h_V = h_V + g1[:, None, :] * drop(dh.astype(h_V.dtype))
+            x = modulate(ln()(h_V), sh2, sc2)
+            dh = PositionWiseFeedForward(self.num_hidden, self.num_hidden * 4)(x)
+            h_V = h_V + g2[:, None, :] * drop(dh)
+            if mask_V is not None:
+                h_V = mask_V[..., None] * h_V
+            xe = modulate(ln()(h_E), sh3, sc3)
+            h_message = SplitMessageChain(self.num_hidden)(h_V, xe, h_V, nbr)
+            h_E = h_E + g3[:, None, None, :] * drop(h_message.astype(h_E.dtype))
+            return h_V, h_E
 
         dh = SplitMessageChain(self.num_hidden, reduce_sum=True,
                                scale=self.scale)(h_V, h_E, h_V, nbr,
@@ -324,6 +344,7 @@ class DecLayerDiffusion(nn.Module):
     num_in: int
     dropout: float = 0.1
     scale: float = 30.0
+    gate_mode: str = "trunk"  # 'trunk' (reference) | 'residual' (DiT-style)
 
     @nn.compact
     def __call__(self, h_V, nbr, edge_pre, s_node, v_node, mask_V=None,
@@ -336,6 +357,10 @@ class DecLayerDiffusion(nn.Module):
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
         act = lambda x: jax.nn.gelu(x, approximate=False)
         H = self.num_hidden
+        residual_gates = self.gate_mode == "residual"
+        h_V_in = h_V
+        if residual_gates:
+            h_V = modulate(ln()(h_V), sh1, sc1)
 
         if s_node.ndim == 3 and v_node.ndim == 3:
             # production path: node blocks concatenated -> one Dense inside
@@ -356,6 +381,14 @@ class DecLayerDiffusion(nn.Module):
             if mask_attend is not None:
                 h_message = mask_attend[..., None] * h_message
             dh = jnp.sum(h_message, axis=-2) / self.scale
+        if residual_gates:
+            h_V = h_V_in + g1[:, None, :] * drop(dh.astype(h_V_in.dtype))
+            x = modulate(ln()(h_V), sh2, sc2)
+            dh = PositionWiseFeedForward(self.num_hidden, self.num_hidden * 4)(x)
+            h_V = h_V + g2[:, None, :] * drop(dh)
+            if mask_V is not None:
+                h_V = mask_V[..., None] * h_V
+            return h_V
         h_V = ln()(h_V + drop(dh.astype(h_V.dtype)))
         h_V = g1[:, None, :] * modulate(h_V, sh1, sc1)
 

@@ -302,3 +302,49 @@ def test_sparse_dense_edge_ops_agree():
         a = np.asarray(dense.aggregate_to_src(msgs, red))
         b = np.asarray(sparse.aggregate_to_src(msgs, red))
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=red)
+
+
+def test_adaln_gate_modes():
+    """'trunk' (reference) zeroes the whole layer output at init
+    (protein_mpnn_utils.py:249,270); 'residual' (DiT-style opt-in) is the
+    identity at init — the training-efficiency variant of ROADMAP 7."""
+    from codlad_tpu.nn.mpnn import EncLayerDiffusion
+
+    rng = np.random.default_rng(0)
+    B, L, K, H = 2, 8, 4, 16
+    h_V = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32))
+    h_E = jnp.asarray(rng.normal(size=(B, L, K, H)).astype(np.float32))
+    from codlad_tpu.nn.mpnn import make_neighbor_gather
+    nbr = make_neighbor_gather(
+        jnp.asarray(rng.integers(0, L, size=(B, L, K)).astype(np.int32)))
+    c = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+
+    trunk = EncLayerDiffusion(H, H * 2, dropout=0.0)
+    p1 = trunk.init(jax.random.PRNGKey(0), h_V, h_E, nbr, c=c)
+    v1, e1 = trunk.apply(p1, h_V, h_E, nbr, c=c)
+    np.testing.assert_allclose(np.asarray(v1), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e1), 0.0, atol=1e-6)
+
+    res = EncLayerDiffusion(H, H * 2, dropout=0.0, gate_mode="residual")
+    p2 = res.init(jax.random.PRNGKey(0), h_V, h_E, nbr, c=c)
+    v2, e2 = res.apply(p2, h_V, h_E, nbr, c=c)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(h_V), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(h_E), atol=1e-6)
+
+
+def test_denoiser_residual_adaln_runs():
+    from codlad_tpu.models.denoiser import mpnn_diffusion
+
+    rng = np.random.default_rng(1)
+    B, L = 2, 12
+    x = jnp.asarray(rng.normal(size=(B, L, 3)).astype(np.float32))
+    t = jnp.zeros((B,), jnp.int32)
+    res_type = jnp.asarray(rng.integers(0, 20, size=(B, L)).astype(np.int32))
+    cg = jnp.asarray(np.cumsum(rng.normal(size=(B, L, 3)), 1).astype(np.float32))
+    mask = jnp.ones((B, L), bool)
+    model = mpnn_diffusion(input_size=3, learn_sigma=True, dropout=0.0,
+                           k_neighbors=4, adaln_mode="residual")
+    params = model.init(jax.random.PRNGKey(0), x, t, res_type, cg, mask)
+    out = model.apply(params, x, t, res_type, cg, mask, deterministic=True)
+    assert out.shape == (B, L, 6)
+    assert np.isfinite(np.asarray(out)).all()
