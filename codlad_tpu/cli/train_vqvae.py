@@ -60,7 +60,13 @@ def build_parser():
     p.add_argument("-dec_nconv", type=int, default=4)
     p.add_argument("-predict_angle", action="store_true", default=False)
     # vq
-    p.add_argument("-quantize_type", type=str, default="vqvae")
+    p.add_argument("-quantize_type", type=str, default="vqvae",
+                   choices=["vqvae", "cosine", "orthogonal", "expire", "fsq"],
+                   help="VQ variant (reference build_quantize dispatch, "
+                        "utils/vq_module.py:98-163)")
+    p.add_argument("-fsq_levels", type=int, nargs="*", default=None,
+                   help="FSQ levels (reference default [7,5,5,5,5]; "
+                        "vqdim must equal len(levels))")
     p.add_argument("-codebook_size", type=int, default=256)
     p.add_argument("-codebook_temp", type=float, default=0.25)
     p.add_argument("-codebook_ema_decay", type=float, default=0.99)
@@ -113,11 +119,17 @@ def main(argv=None):
         model = VAE(mode=args.train_section, vqdim=args.vqdim,
                     predict_angle=args.predict_angle, **common)
         params = jax.jit(model.init)(rng, first)
+        from codlad_tpu.models.vq import build_quantize
+        quantizer = (build_quantize(
+            args.quantize_type, codebook_size=args.codebook_size,
+            dim=args.vqdim, decay=args.codebook_ema_decay,
+            commitment_weight=args.codebook_temp,
+            levels=args.fsq_levels)
+            if args.train_section == "vqvae" else None)
         train_step, eval_step = make_vqvae_step(
             model, vq_decay=args.codebook_ema_decay,
-            commitment_weight=args.codebook_temp)
-        vq_state = (vq_init(rng, args.codebook_size, args.vqdim)
-                    if args.train_section == "vqvae" else None)
+            commitment_weight=args.codebook_temp, quantizer=quantizer)
+        vq_state = quantizer.init(rng) if quantizer is not None else None
 
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     logger.info(f"model parameters: {n_params:,}")

@@ -208,3 +208,59 @@ def fsq_quantize(z, levels):
     basis = np.concatenate([[1], np.cumprod(levels[:-1])])
     idx = jnp.sum(digits * basis, axis=-1).astype(jnp.int32)
     return z_q, idx
+
+
+# ---------------------------------------------------------------------------
+# factory (the reference's build_quantize, utils/vq_module.py:98-163):
+# one name -> (init, quantize) pair the trainers/pipelines dispatch on.
+
+
+class Quantizer:
+    """Uniform interface over the VQ variants.
+
+    quantize(state, z, mask, train, rng) -> (z_q, idx, commit_loss,
+    new_state); state is None for the stateless FSQ."""
+
+    def __init__(self, kind, codebook_size=4096, dim=3, levels=None,
+                 decay=0.99, commitment_weight=0.25, ortho_weight=10.0,
+                 expire_threshold=2.0):
+        if kind not in ("vqvae", "cosine", "orthogonal", "expire", "fsq"):
+            raise ValueError(f"unknown quantize_type {kind!r}")
+        self.kind = kind
+        self.codebook_size = codebook_size
+        self.dim = dim
+        self.levels = levels or [7, 5, 5, 5, 5]
+        self.decay = decay
+        self.commitment_weight = commitment_weight
+        self.ortho_weight = ortho_weight
+        self.expire_threshold = expire_threshold
+        if kind == "fsq" and dim != len(self.levels):
+            raise ValueError(
+                f"fsq needs vqdim == len(levels) ({len(self.levels)}), got {dim}")
+
+    def init(self, rng):
+        if self.kind == "fsq":
+            return None
+        return vq_init(rng, self.codebook_size, self.dim)
+
+    def quantize(self, state, z, mask=None, *, train=False, rng=None):
+        kw = dict(train=train, decay=self.decay,
+                  commitment_weight=self.commitment_weight)
+        if self.kind == "fsq":
+            z_q, idx = fsq_quantize(z, self.levels)
+            return z_q, idx, jnp.float32(0.0), None
+        if self.kind == "cosine":
+            return vq_quantize_cosine(state, z, mask, **kw)
+        z_q, idx, loss, new_state = vq_quantize(state, z, mask, **kw)
+        if self.kind == "orthogonal":
+            loss = loss + orthogonal_reg_loss(new_state.codebook,
+                                              weight=self.ortho_weight)
+        if self.kind == "expire" and train:
+            assert rng is not None, "expire variant needs an rng"
+            new_state = expire_dead_codes(rng, new_state, z, mask,
+                                          threshold=self.expire_threshold)
+        return z_q, idx, loss, new_state
+
+
+def build_quantize(quantize_type, codebook_size=4096, dim=3, **kw):
+    return Quantizer(quantize_type, codebook_size=codebook_size, dim=dim, **kw)

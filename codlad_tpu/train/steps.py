@@ -46,9 +46,13 @@ def _weights_from_array(a):
 
 
 def make_vqvae_step(vae: VAE, *, vq_decay=0.99, commitment_weight=0.25,
-                    skip_loss_threshold=50.0):
+                    skip_loss_threshold=50.0, quantizer=None):
     """Returns train_step(state, batch, rng, weights_arr) and
-    eval_step(state, batch, rng, weights_arr)."""
+    eval_step(state, batch, rng, weights_arr).
+
+    `quantizer` (models/vq.Quantizer) selects the VQ variant — the
+    reference's build_quantize dispatch (utils/vq_module.py:98-163);
+    None = plain EMA VQ."""
 
     mode = vae.mode
 
@@ -60,9 +64,14 @@ def make_vqvae_step(vae: VAE, *, vq_decay=0.99, commitment_weight=0.25,
         vq_loss = 0.0
         kl = 0.0
         if mode == "vqvae":
-            zq, _, vq_loss, new_vq = vq_quantize(
-                vq_state, h, mask, train=train, decay=vq_decay,
-                commitment_weight=commitment_weight)
+            if quantizer is not None:
+                zq, _, vq_loss, new_vq = quantizer.quantize(
+                    vq_state, h, mask, train=train,
+                    rng=jax.random.fold_in(rng, 4096))
+            else:
+                zq, _, vq_loss, new_vq = vq_quantize(
+                    vq_state, h, mask, train=train, decay=vq_decay,
+                    commitment_weight=commitment_weight)
         elif mode in ("fgvae", "cgvae"):
             zq = reparametrize(rng, mu, sigma) if train else mu
             kl = kl_standard_normal(mu, sigma, mask)

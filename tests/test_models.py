@@ -348,3 +348,50 @@ def test_denoiser_residual_adaln_runs():
     out = model.apply(params, x, t, res_type, cg, mask, deterministic=True)
     assert out.shape == (B, L, 6)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_build_quantize_variants_train_step():
+    """quantize_type dispatch (reference build_quantize,
+    utils/vq_module.py:98-163): every variant drives a full Stage-1 train
+    step; FSQ is stateless; expire replaces dead codes."""
+    import optax
+
+    from codlad_tpu.data import batch as B
+    from codlad_tpu.data.synthetic import synthetic_examples
+    from codlad_tpu.models.vae import VAE
+    from codlad_tpu.models.vq import build_quantize
+    from codlad_tpu.train.state import create_train_state
+    from codlad_tpu.train.steps import make_vqvae_step, weights_to_array
+    from codlad_tpu.train.losses import LossWeights
+
+    exs = synthetic_examples(2, 10, seed=0)
+    spec = B.spec_for(exs, length_multiple=4, edge_multiple=64)
+    batch = {k: jnp.asarray(v) for k, v in B.collate(exs, spec).items()}
+    w = weights_to_array(LossWeights())
+
+    for kind, dim in [("cosine", 3), ("orthogonal", 3), ("expire", 3),
+                      ("fsq", 5)]:
+        vae = VAE(embed_dim=36, vqdim=dim, mode="vqvae", dec_nconv=1,
+                  enc_nconv=1)
+        params = vae.init(jax.random.PRNGKey(0), batch)
+        q = build_quantize(kind, codebook_size=32, dim=dim)
+        vq_state = q.init(jax.random.PRNGKey(1))
+        cb_before = (None if vq_state is None
+                     else np.array(vq_state.codebook))  # step donates state
+        state = create_train_state(params, optax.adam(1e-3),
+                                   vq_state=vq_state)
+        step, _ = make_vqvae_step(vae, quantizer=q)
+        state2, metrics = step(state, batch, jax.random.PRNGKey(2), w)
+        assert np.isfinite(float(metrics["loss"])), kind
+        if kind == "fsq":
+            assert state2.vq_state is None
+        else:
+            assert not np.allclose(np.asarray(state2.vq_state.codebook),
+                                   cb_before), kind
+    # cosine keeps its codebook on the sphere
+    q = build_quantize("cosine", codebook_size=16, dim=3)
+    st = q.init(jax.random.PRNGKey(3))
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(2, 6, 3)).astype(np.float32))
+    _, _, _, st2 = q.quantize(st, z, train=True)
+    norms = np.linalg.norm(np.asarray(st2.codebook), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
