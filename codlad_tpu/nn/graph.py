@@ -93,11 +93,61 @@ class SparseEdgeOps:
         return out
 
 
+@dataclasses.dataclass(frozen=True)
+class PallasEdgeOps:
+    """VMEM-tiled gather/aggregate kernels (kernels/edge_kernels.py): the
+    one-hot never exists in HBM — it is rebuilt per edge tile in VMEM.
+    Cuts the encoder's HBM traffic ~20x vs DenseEdgeOps (which
+    materializes and re-reads [B, E, N] selection matrices)."""
+
+    edges: Any  # [B, E, 2]
+    mask: Any   # [B, E] float
+    n_nodes: int
+    deg: Any    # [B, N] float (for mean reduction)
+
+    def gather_src(self, nodes):
+        from codlad_tpu.kernels.edge_kernels import edge_gather
+        out = edge_gather(self.edges[..., 0], self.mask, nodes)
+        return out.astype(nodes.dtype)
+
+    def gather_dst(self, nodes):
+        from codlad_tpu.kernels.edge_kernels import edge_gather
+        out = edge_gather(self.edges[..., 1], self.mask, nodes)
+        return out.astype(nodes.dtype)
+
+    def aggregate_to_src(self, msgs, reduce="sum"):
+        from codlad_tpu.kernels.edge_kernels import edge_aggregate
+        out = edge_aggregate(self.edges[..., 0], self.mask, msgs,
+                             self.n_nodes).astype(msgs.dtype)
+        if reduce == "mean":
+            out = out / jnp.maximum(self.deg[..., None], 1.0).astype(msgs.dtype)
+        return out
+
+
+def _pallas_available():
+    try:
+        from codlad_tpu.kernels.edge_kernels import _use_pallas
+        return _use_pallas()
+    except Exception:  # pragma: no cover
+        return False
+
+
 def make_edge_ops(edges, mask, n_nodes, dtype=jnp.bfloat16,
-                  dense_limit_bytes=3 * 2**30):
-    """edges [B, E, 2] int, mask [B, E] bool; n_nodes per sample."""
+                  dense_limit_bytes=3 * 2**30, prefer_pallas=False):
+    """edges [B, E, 2] int, mask [B, E] bool; n_nodes per sample.
+
+    prefer_pallas opts into the VMEM-tiled kernels; profiling on v5e
+    showed the one-hot ops are NOT the Stage-1 bottleneck (1.6 ms of a
+    199 ms step — the per-edge tensor-product fusions are, see
+    kernels/tp_kernels.py), and the Pallas gather lowering is currently
+    slower than the dense contraction, so the dense path stays default."""
     B, E, _ = edges.shape
     maskf = mask.astype(jnp.float32)
+    if prefer_pallas and _pallas_available():
+        from codlad_tpu.kernels.edge_kernels import edge_aggregate
+        ones = jnp.ones((B, E, 1), jnp.float32)
+        deg = edge_aggregate(edges[..., 0], maskf, ones, n_nodes)[..., 0]
+        return PallasEdgeOps(edges=edges, mask=maskf, n_nodes=n_nodes, deg=deg)
     bytes_needed = 2 * B * E * n_nodes * jnp.dtype(dtype).itemsize
     if bytes_needed <= dense_limit_bytes:
         m = maskf.astype(dtype)[..., None]

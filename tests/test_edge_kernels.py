@@ -1,0 +1,83 @@
+"""Pallas edge gather/aggregate kernels (kernels/edge_kernels.py):
+interpret-mode equality with the pure-JAX twins, incl. gradients and the
+mutual-transpose VJP identity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codlad_tpu.kernels import edge_kernels as EK
+
+
+def _data(seed=0, B=2, E=1100, N=40, F=7):
+    rng = np.random.default_rng(seed)
+    idx = jnp.asarray(rng.integers(0, N, (B, E)).astype(np.int32))
+    maskf = jnp.asarray((rng.random((B, E)) > 0.25).astype(np.float32))
+    nodes = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
+    msgs = jnp.asarray(rng.normal(size=(B, E, F)).astype(np.float32))
+    return idx, maskf, nodes, msgs
+
+
+def test_gather_kernel_matches_reference():
+    idx, maskf, nodes, _ = _data()
+    ref = EK._ref_gather(idx, maskf, nodes)
+    out = EK._pallas_gather(idx, maskf, nodes, interpret=True)
+    # hi/lo bf16 split: ~16 mantissa bits => ~1e-5 relative
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=2e-5)
+
+
+def test_aggregate_kernel_matches_reference():
+    idx, maskf, _, msgs = _data()
+    N = 40
+    ref = EK._ref_aggregate(idx, maskf, msgs, N)
+    out = EK._pallas_aggregate(idx, maskf, msgs, N, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=2e-5)
+
+
+def test_edge_padding_tile_boundary():
+    # E exactly at and just past the tile size
+    for E in (EK._TILE_E, EK._TILE_E + 1, 2 * EK._TILE_E - 1):
+        idx, maskf, nodes, msgs = _data(seed=E, E=E)
+        np.testing.assert_allclose(
+            np.asarray(EK._pallas_gather(idx, maskf, nodes, interpret=True)),
+            np.asarray(EK._ref_gather(idx, maskf, nodes)), atol=5e-5,
+            rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(EK._pallas_aggregate(idx, maskf, msgs, 40, interpret=True)),
+            np.asarray(EK._ref_aggregate(idx, maskf, msgs, 40)),
+            atol=5e-5, rtol=2e-5)
+
+
+def test_vjp_transpose_identity():
+    """<gather(n), m> == <n, aggregate(m)> — the identity the custom VJPs
+    rely on (each is the other's transpose)."""
+    idx, maskf, nodes, msgs = _data(seed=3)
+    lhs = jnp.sum(EK._ref_gather(idx, maskf, nodes) * msgs)
+    rhs = jnp.sum(nodes * EK._ref_aggregate(idx, maskf, msgs, 40))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-5)
+
+
+def test_gradients_match_autodiff_of_reference():
+    idx, maskf, nodes, msgs = _data(seed=4)
+
+    def f_custom(n):
+        return (EK.edge_gather(idx, maskf, n) ** 2).sum()
+
+    def f_ref(n):
+        return (EK._ref_gather(idx, maskf, n) ** 2).sum()
+
+    np.testing.assert_allclose(np.asarray(jax.grad(f_custom)(nodes)),
+                               np.asarray(jax.grad(f_ref)(nodes)),
+                               atol=5e-5, rtol=2e-5)
+
+    def a_custom(m):
+        return jnp.sum(EK.edge_aggregate(idx, maskf, m, 40) ** 2)
+
+    def a_ref(m):
+        return jnp.sum(EK._ref_aggregate(idx, maskf, m, 40) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(a_custom)(msgs)),
+                               np.asarray(jax.grad(a_ref)(msgs)),
+                               atol=5e-5, rtol=2e-5)
