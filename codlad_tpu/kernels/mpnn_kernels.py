@@ -245,3 +245,116 @@ def _edge_bwd(res, g):
 
 
 fused_message_edge.defvjp(_edge_fwd, _edge_bwd)
+
+
+# ---------------------------------------------------------------------------
+# edge chain + LayerNorm + adaLN epilogue (the encoder's h_E update)
+#
+# Profiling the sampling step: each encoder edge update cost ~2.4 ms — the
+# message kernel wrote [B, L, K, H] to HBM and two more fusions re-read it
+# for LayerNorm statistics and the modulate/gate.  Folding the epilogue
+# h_E' = g * ((LN(h_E + msg)) * (1 + sc) + sh) into the kernel removes two
+# full [B, L, K, H] HBM round trips per encoder layer.
+
+
+def _ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
+                            sh, sc, g, onehot=None, eps=1e-6):
+    msg = _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3, onehot)
+    resid = (E + msg.astype(E.dtype)).astype(jnp.float32)
+    mean = resid.mean(axis=-1, keepdims=True)
+    var = ((resid - mean) ** 2).mean(axis=-1, keepdims=True)
+    ln = (resid - mean) * jax.lax.rsqrt(var + eps)
+    out = g[:, None, None, :] * (ln * (1.0 + sc[:, None, None, :])
+                                 + sh[:, None, None, :])
+    return out.astype(E.dtype)
+
+
+def _edge_lnmod_kernel(oh_ref, a_ref, e_ref, g_ref, we_ref, w2_ref, b2_ref,
+                       w3_ref, b3_ref, sh_ref, sc_ref, gate_ref, out_ref):
+    TL, K, H = e_ref.shape[1], e_ref.shape[2], e_ref.shape[3]
+    f32 = jnp.float32
+
+    e = e_ref[0].reshape(TL * K, H)
+    onehot = oh_ref[0]
+    gn = jnp.dot(onehot, g_ref[0], preferred_element_type=f32)
+    a = jnp.broadcast_to(a_ref[0][:, None, :].astype(f32),
+                         (TL, K, H)).reshape(TL * K, H)
+    pre = a + jnp.dot(e, we_ref[...], preferred_element_type=f32) + gn
+    x = jnp.dot(_gelu(pre).astype(e.dtype), w2_ref[...],
+                preferred_element_type=f32) + b2_ref[...].astype(f32)
+    x = jnp.dot(_gelu(x).astype(e.dtype), w3_ref[...],
+                preferred_element_type=f32) + b3_ref[...].astype(f32)
+    resid = (e + x.astype(e.dtype)).astype(f32)
+    mean = resid.mean(axis=-1, keepdims=True)
+    var = ((resid - mean) ** 2).mean(axis=-1, keepdims=True)
+    ln = (resid - mean) * jax.lax.rsqrt(var + 1e-6)
+    sh = sh_ref[0].astype(f32)          # [1, H]
+    sc = sc_ref[0].astype(f32)
+    gate = gate_ref[0].astype(f32)
+    out = gate * (ln * (1.0 + sc) + sh)
+    out_ref[0] = out.reshape(TL, K, H).astype(out_ref.dtype)
+
+
+def _pallas_message_edge_lnmod(A, E, Gn, onehot, W_e, W2, b2, W3, b3,
+                               sh, sc, g):
+    B, L, K, H = E.shape
+    TL = _tile_rows(L, K, H)
+    grid = (B, L // TL)
+    dt = E.dtype
+
+    return pl.pallas_call(
+        _edge_lnmod_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TL * K, L), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, TL, H), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, L, H), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
+            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
+            pl.BlockSpec((H,), lambda b, i: (0,)),
+            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
+            pl.BlockSpec((H,), lambda b, i: (0,)),
+            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, K, H), E.dtype),
+    )(onehot.astype(dt), A.astype(dt), E, Gn.astype(dt),
+      W_e.astype(dt), W2.astype(dt), b2, W3.astype(dt), b3,
+      sh.astype(dt)[:, None, :], sc.astype(dt)[:, None, :],
+      g.astype(dt)[:, None, :])
+
+
+@jax.custom_vjp
+def fused_message_edge_lnmod(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3,
+                             sh, sc, g):
+    """Edge chain + residual + LayerNorm + adaLN modulate/gate in one pass
+    -> the encoder layer's updated h_E [B, L, K, H]."""
+    if _use_pallas() and onehot is not None:
+        return _pallas_message_edge_lnmod(A, E, Gn, onehot, W_e, W2, b2,
+                                          W3, b3, sh, sc, g)
+    return _ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
+                                   sh, sc, g, onehot)
+
+
+def _edge_lnmod_fwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g):
+    out = fused_message_edge_lnmod(A, E, Gn, idx, onehot, W_e, W2, b2,
+                                   W3, b3, sh, sc, g)
+    return out, (A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g)
+
+
+def _edge_lnmod_bwd(res, ct):
+    A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g = res
+    _, vjp = jax.vjp(
+        lambda A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g:
+        _ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
+                                sh, sc, g, onehot),
+        A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g)
+    dA, dE, dGn, dW_e, dW2, db2, dW3, db3, dsh, dsc, dg = vjp(ct)
+    return (dA, dE, dGn, None, None, dW_e, dW2, db2, dW3, db3,
+            dsh, dsc, dg)
+
+
+fused_message_edge_lnmod.defvjp(_edge_lnmod_fwd, _edge_lnmod_bwd)

@@ -13,7 +13,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from codlad_tpu.kernels.mpnn_kernels import fused_message_edge, fused_message_sum
+from codlad_tpu.kernels.mpnn_kernels import (fused_message_edge,
+                                             fused_message_edge_lnmod,
+                                             fused_message_sum)
 
 
 def gather_nodes(nodes, neighbor_idx):
@@ -247,9 +249,14 @@ class SplitMessageChain(nn.Module):
     scale: float = 30.0
 
     @nn.compact
-    def __call__(self, h_self, edge_pre, nbr_node_pre, nbr, mask_attend=None):
+    def __call__(self, h_self, edge_pre, nbr_node_pre, nbr, mask_attend=None,
+                 ln_mod=None):
         """h_self: [B, L, H]; edge_pre: [B, L, K, H] per-edge features;
-        nbr_node_pre: [B, L, H] node features gathered via the `nbr` op."""
+        nbr_node_pre: [B, L, H] node features gathered via the `nbr` op.
+
+        ln_mod=(sh, sc, g): fuse the encoder's h_E epilogue
+        g * modulate(LN(edge_pre + msg), sh, sc) into the kernel (saves two
+        [B, L, K, H] HBM round trips per layer; reduce_sum=False only)."""
         H = self.num_hidden
         A = nn.Dense(H)(h_self)
         Gn = nn.Dense(H, use_bias=False)(nbr_node_pre)
@@ -267,6 +274,10 @@ class SplitMessageChain(nn.Module):
             return fused_message_sum(A, edge_pre, Gn, idx, onehot,
                                      mask_attend, W_e, W2, b2, W3, b3,
                                      self.scale)
+        if ln_mod is not None:
+            sh, sc, g = ln_mod
+            return fused_message_edge_lnmod(A, edge_pre, Gn, idx, onehot,
+                                            W_e, W2, b2, W3, b3, sh, sc, g)
         return fused_message_edge(A, edge_pre, Gn, idx, onehot,
                                   W_e, W2, b2, W3, b3)
 
@@ -323,9 +334,14 @@ class EncLayerDiffusion(nn.Module):
         if mask_V is not None:
             h_V = mask_V[..., None] * h_V
 
-        h_message = SplitMessageChain(self.num_hidden)(h_V, h_E, h_V, nbr)
-        h_E = ln()(h_E + drop(h_message.astype(h_E.dtype)))
-        h_E = g3[:, None, None, :] * modulate(h_E, sh3, sc3)
+        if deterministic or self.dropout == 0.0:
+            # dropout is identity: fold LN + modulate/gate into the kernel
+            h_E = SplitMessageChain(self.num_hidden)(
+                h_V, h_E, h_V, nbr, ln_mod=(sh3, sc3, g3))
+        else:
+            h_message = SplitMessageChain(self.num_hidden)(h_V, h_E, h_V, nbr)
+            h_E = ln()(h_E + drop(h_message.astype(h_E.dtype)))
+            h_E = g3[:, None, None, :] * modulate(h_E, sh3, sc3)
         return h_V, h_E
 
 
