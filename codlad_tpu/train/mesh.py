@@ -95,3 +95,34 @@ def pad_batch_to_devices(batch, n_devices):
         pad = [(0, rem)] + [(0, 0)] * (v.ndim - 1)
         out[k] = np.pad(v, pad)
     return out
+
+
+def make_mesh_2d(n_devices, rows=None, axes=("data", "seq")):
+    """2-D mesh for composed parallelism (data x sequence/model).
+
+    The reference has only DDP; this is the TPU-native extension point:
+    shard batch on axes[0] and sequence/feature dims on axes[1], and let
+    GSPMD insert the collectives (all-gathers around the kNN distance
+    matrix, psums for gradients)."""
+    devices = jax.devices()[:n_devices]
+    if rows is None:
+        rows = 1
+        while rows * rows <= n_devices:
+            rows *= 2
+        rows //= 2
+        while n_devices % rows:
+            rows //= 2
+    return Mesh(np.array(devices).reshape(rows, n_devices // rows), axes)
+
+
+def shard_batch_2d(batch, mesh, seq_keys=(), axes=("data", "seq")):
+    """Shard leading dim on axes[0]; for keys in seq_keys also shard their
+    second (sequence) dim on axes[1]."""
+    out = {}
+    for k, v in batch.items():
+        if k in seq_keys and v.ndim >= 2:
+            spec = P(axes[0], axes[1])
+        else:
+            spec = P(axes[0])
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
