@@ -60,6 +60,9 @@ def build_parser():
     p.add_argument("-dec_nconv", type=int, default=4)
     p.add_argument("-predict_angle", action="store_true", default=False)
     # vq
+    p.add_argument("-bf16", action="store_true", default=False,
+                   help="run the encoder's tensor-product feature path in "
+                        "bf16 (geometry and losses stay f32)")
     p.add_argument("-quantize_type", type=str, default="vqvae",
                    choices=["vqvae", "cosine", "orthogonal", "expire", "fsq"],
                    help="VQ variant (reference build_quantize dispatch, "
@@ -117,7 +120,9 @@ def main(argv=None):
         vq_state = None
     else:
         model = VAE(mode=args.train_section, vqdim=args.vqdim,
-                    predict_angle=args.predict_angle, **common)
+                    predict_angle=args.predict_angle,
+                    compute_dtype="bfloat16" if args.bf16 else "float32",
+                    **common)
         params = jax.jit(model.init)(rng, first)
         from codlad_tpu.models.vq import build_quantize
         quantizer = (build_quantize(

@@ -60,6 +60,8 @@ class E3Encoder(nn.Module):
     distance_embed_dim: int = 8
     cross_distance_embed_dim: int = 8
     in_edge_features: int = 4
+    compute_dtype: str = "float32"   # 'bfloat16': run the TP feature path
+                                     # in bf16 (geometry stays f32)
 
     @nn.compact
     def __call__(self, batch):
@@ -98,6 +100,13 @@ class E3Encoder(nn.Module):
         atom_feat = nn.Embed(30, ns)(zf.astype(jnp.int32))            # [B, NA, ns]
         atom_feat = atom_feat * atom_mask.reshape(B, NA, 1)
 
+        # bf16 feature path: the per-edge TP tensors dominate HBM traffic;
+        # SH/attrs are computed from f32 geometry first, then cast
+        cdt = jnp.dtype(self.compute_dtype)
+        if cdt != jnp.float32:
+            cast = lambda v: v.astype(cdt)
+            atom_feat, a_attr, atom_sh = map(cast, (atom_feat, a_attr, atom_sh))
+
         # ---- CG graph
         c_edges, c_mask = make_directed_batched(batch["cg_edges"],
                                                 batch["cg_edges_mask"])
@@ -114,6 +123,8 @@ class E3Encoder(nn.Module):
         c_attr = EdgeEmbed(ns)(c_attr)
         cg_feat = nn.Embed(30, ns)(res_type)                          # [B, L, ns]
         cg_feat = cg_feat * res_mask[..., None]
+        if cdt != jnp.float32:
+            cg_feat, c_attr, cg_sh = map(cast, (cg_feat, c_attr, cg_sh))
 
         # ---- cross graph: dense atom <-> own-residue site
         r_iI = xyz - cg_xyz[:, :, None, :]                            # [B, L, 14, 3]
@@ -122,7 +133,9 @@ class E3Encoder(nn.Module):
                                       self.cross_distance_embed_dim)(
             jnp.linalg.norm(r_iI, axis=-1))
         cross_attr = EdgeEmbed(ns)(cross_attr)                        # [B, L, 14, ns]
-        amask_f = atom_mask.astype(xyz.dtype)
+        if cdt != jnp.float32:
+            cross_attr, cross_sh = map(cast, (cross_attr, cross_sh))
+        amask_f = atom_mask.astype(cdt if cdt != jnp.float32 else xyz.dtype)
 
         for l in range(self.num_conv_layers):
             in_ir = ladder[min(l, 3)]
@@ -186,7 +199,7 @@ class E3Encoder(nn.Module):
         ], axis=-1)
         node = node * amask_f[..., None]
         denom = jnp.maximum(amask_f.sum(-1, keepdims=True), 1.0)
-        per_res = node.sum(2) / denom                                  # [B, L, 84]
+        per_res = (node.sum(2) / denom).astype(jnp.float32)            # [B, L, 84]
 
         h = nn.Dense(self.n_atom_basis)(per_res)
         h = jnp.tanh(h)

@@ -62,6 +62,7 @@ class VAE(nn.Module):
     activation: str = "swish"
     atom_cutoff: float = 9.0
     cg_cutoff: float = 21.0
+    compute_dtype: str = "float32"
 
     def setup(self):
         self.encoder = E3Encoder(
@@ -70,6 +71,7 @@ class VAE(nn.Module):
             atom_max_radius=self.atom_cutoff + 5,
             cg_max_radius=self.cg_cutoff + 5,
             cross_max_distance=self.cg_cutoff + 5,
+            compute_dtype=self.compute_dtype,
         )
         dec_cls = ICDecoderAngle if self.predict_angle else ICDecoder
         self.decoder = dec_cls(

@@ -395,3 +395,26 @@ def test_build_quantize_variants_train_step():
     _, _, _, st2 = q.quantize(st, z, train=True)
     norms = np.linalg.norm(np.asarray(st2.codebook), axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_encoder_bf16_compute_close_to_f32():
+    """bf16 TP feature path (Stage-1 -bf16 flag): finite and within bf16
+    tolerance of the f32 path; geometry/readout stay f32."""
+    from codlad_tpu.data import batch as B
+    from codlad_tpu.data.synthetic import synthetic_examples
+    from codlad_tpu.models.vae import VAE
+
+    exs = synthetic_examples(2, 12, seed=0)
+    spec = B.spec_for(exs, length_multiple=4, edge_multiple=64)
+    batch = {k: jnp.asarray(v) for k, v in B.collate(exs, spec).items()}
+    v32 = VAE(embed_dim=36, vqdim=3, enc_nconv=2, dec_nconv=1)
+    v16 = VAE(embed_dim=36, vqdim=3, enc_nconv=2, dec_nconv=1,
+              compute_dtype="bfloat16")
+    params = v32.init(jax.random.PRNGKey(0), batch)
+    h32, _ = v32.apply(params, batch, method=VAE.encode)
+    h16, _ = v16.apply(params, batch, method=VAE.encode)
+    assert h16.dtype == jnp.float32
+    assert np.isfinite(np.asarray(h16)).all()
+    scale = np.abs(np.asarray(h32)).mean() + 1e-6
+    err = np.abs(np.asarray(h16) - np.asarray(h32)).mean() / scale
+    assert err < 0.1, err
