@@ -46,7 +46,10 @@ def build_parser():
     p.add_argument("--stats_name", type=str, default=None)
     p.add_argument("--stats_dir", type=str, default="datasets/miu_and_sigma")
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--use_ema", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-use_ema evaluates the raw (non-EMA) weights "
+                        "(reference test.py:264-286 net/EMA selection)")
     p.add_argument("--save_pdb", action="store_true", default=False,
                    help="export generated ensembles as multi-MODEL PDB "
                         "(reference test.py:804-816)")
@@ -55,7 +58,8 @@ def build_parser():
                         "(reference test.py:787-803)")
     p.add_argument("--doubled_batch", action="store_true", default=False,
                    help="reproduce the reference's doubled-batch sampling")
-    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                   default=True)
     return p
 
 
