@@ -57,6 +57,9 @@ def build_parser():
     p.add_argument("--model_ckpt", type=str, default=None,
                    help="warm-start weights from this checkpoint dir (no optimizer/step)")
     p.add_argument("--dropout", type=float, default=0.6)
+    p.add_argument("--bf16", action="store_true", default=False,
+                   help="mixed-precision training: bf16 network forward "
+                        "over f32 master params (diffusion math stays f32)")
     p.add_argument("--adaln_mode", type=str, default="trunk",
                    choices=["trunk", "residual"],
                    help="'trunk' reproduces the reference adaLN (zero-init "
@@ -178,7 +181,8 @@ def main(argv=None):
         process = FLOW_MATCHERS[args.model]()
     train_step, eval_step = make_latent_step(
         model, process, process_kind=args.model, ema_decay=args.ema_decay,
-        dropout=args.dropout > 0)
+        dropout=args.dropout > 0,
+        compute_dtype="bfloat16" if args.bf16 else None)
 
     resampler = None
     if args.model == "diffusion" and args.t_sampler == "loss_second_moment":

@@ -75,8 +75,10 @@ def _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3, onehot=None):
 def _ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale,
                      onehot=None):
     m = _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3, onehot)
-    m = m * mask[..., None]
-    return m.sum(axis=2) / scale
+    m = m * mask[..., None].astype(m.dtype)
+    # f32 like the pallas kernel's output, so fwd/bwd dtypes agree under
+    # bf16 mixed precision
+    return (m.sum(axis=2) / scale).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -153,17 +153,33 @@ def masked_l2(pred, target, mask):
 
 
 def make_latent_step(denoiser, process, *, process_kind: str,
-                     ema_decay=0.9999, dropout=True):
+                     ema_decay=0.9999, dropout=True, compute_dtype=None):
     """Stage-2 steps. process_kind: 'diffusion' | one of the flow names |
-    'backbone'. `process` is the GaussianDiffusion or flow matcher."""
+    'backbone'. `process` is the GaussianDiffusion or flow matcher.
+
+    compute_dtype='bfloat16': mixed precision — the network forward runs
+    in bf16 (activations AND a bf16 view of the params; grads accumulate
+    back through the cast into the f32 master params), while the
+    q-sample/VB/MSE diffusion math stays f32. Halves the [B, L, K, H]
+    message-tensor traffic that dominates the train step."""
 
     def model_apply(params, x, t, rng, extras, x_self_cond=None, train=True):
         use_dropout = dropout and train
-        return denoiser.apply(
+        if compute_dtype is not None:
+            cast = lambda v: (v.astype(compute_dtype)
+                              if hasattr(v, "dtype")
+                              and jnp.issubdtype(v.dtype, jnp.floating) else v)
+            params = jax.tree.map(cast, params)
+            x = cast(x)
+            extras = dict(extras, cg_xyz=cast(extras["cg_xyz"]))
+            if x_self_cond is not None:
+                x_self_cond = cast(x_self_cond)
+        out = denoiser.apply(
             params, x, t, extras["res_type"], extras["cg_xyz"], extras["mask"],
             x_self_cond=x_self_cond,
             deterministic=not use_dropout,
             rngs={"dropout": rng} if use_dropout else None)
+        return out.astype(jnp.float32)
 
     def loss_fn(params, x1, extras, rng, train=True, t=None, t_weights=None):
         mask3 = extras["mask"][..., None]

@@ -164,3 +164,40 @@ def test_latent_step_with_loss_resampler(tiny_batch):
         rs.update_with_losses(np.asarray(m["t"]), np.asarray(m["loss_per_sample"]))
     assert np.isfinite(float(m["loss"]))
     assert rs._loss_counts.sum() > 0
+
+
+def test_latent_step_mixed_precision_close():
+    """compute_dtype='bfloat16' (the --bf16 flag): same step API, finite
+    loss close to the f32 path (network in bf16, diffusion math f32)."""
+    import optax
+
+    from codlad_tpu.gen.diffusion import create_diffusion
+    from codlad_tpu.models.denoiser import mpnn_diffusion
+    from codlad_tpu.train.state import create_train_state
+    from codlad_tpu.train.steps import make_latent_step
+
+    B, L = 4, 16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, L, 3)).astype(np.float32))
+    res_type = jnp.asarray(rng.integers(0, 20, size=(B, L)).astype(np.int32))
+    cg = jnp.asarray(np.cumsum(rng.normal(size=(B, L, 3)), 1).astype(np.float32))
+    mask = jnp.ones((B, L), bool)
+    extras = {"res_type": res_type, "cg_xyz": cg, "mask": mask}
+
+    model = mpnn_diffusion(input_size=3, learn_sigma=True, dropout=0.0,
+                           k_neighbors=4)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((B,), jnp.int32),
+                        res_type, cg, mask)
+    diffusion = create_diffusion(None, diffusion_steps=100, learn_sigma=True)
+    tx = optax.adam(1e-3)
+
+    losses = {}
+    for tag, cdt in [("f32", None), ("bf16", "bfloat16")]:
+        state = create_train_state(jax.tree.map(jnp.copy, params), tx,
+                                   with_ema=True)
+        step, _ = make_latent_step(model, diffusion, process_kind="diffusion",
+                                   compute_dtype=cdt, dropout=False)
+        state, m = step(state, x, extras, jax.random.PRNGKey(7))
+        losses[tag] = float(m["loss"])
+        assert np.isfinite(losses[tag])
+    assert abs(losses["bf16"] - losses["f32"]) / abs(losses["f32"]) < 0.05, losses
