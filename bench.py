@@ -21,8 +21,17 @@ beyond the estimated baseline:
   * `e2e_structures_per_sec_per_chip`: FULL sample->structure pipeline
     (100 denoise steps + VQ snap + IC decode + ic_to_xyz14 Cartesian
     rebuild) — the reference's whole test.py:481-582 inner loop;
-  * `denoise_mfu`: measured denoise FLOPs (XLA cost analysis) over the
-    chip's peak bf16 FLOPs — an estimate-free utilization figure.
+  * `e2e_mixed_structures_per_sec_per_chip`: the same pipeline over a
+    MIXED workload of three protein lengths/buckets with distinct CA
+    traces and per-bucket edge counts (the eval harness's real shape;
+    the homogeneous number sees a single compilation bucket);
+  * `denoise_mfu`: measured denoise FLOPs over the chip's peak bf16
+    FLOPs.  The FLOP numerator comes from XLA cost analysis WITH the
+    Pallas kernels' pl.CostEstimate included (round 2 reported 1.85%
+    because pallas_call scored 0 FLOPs without estimates — only ~30 of
+    the ~820 GFLOP/step were counted).  NB: ~230 GFLOP of that is
+    one-hot gather-contraction work (selection matmuls), so useful-work
+    MFU is ~0.7x the reported figure.
 """
 
 import json
@@ -132,6 +141,8 @@ def main():
 
     # ---- end-to-end: denoise -> VQ snap -> IC decode -> Cartesian rebuild
     e2e = _bench_e2e(sample, rng_np=np.random.default_rng(1))
+    e2e_mixed = _bench_e2e_mixed(model, diffusion, params_bf16, step,
+                                 rng_np=np.random.default_rng(2))
 
     print(json.dumps({
         "metric": "denoise_steps_per_sec_per_chip_PED_eval(B96,L128,ddim100)",
@@ -140,6 +151,7 @@ def main():
         "vs_baseline": round(value / BASELINE_STEPS_PER_SEC, 3),
         "extra_metrics": {
             "e2e_structures_per_sec_per_chip": e2e,
+            "e2e_mixed_structures_per_sec_per_chip": e2e_mixed,
             "denoise_mfu": round(mfu, 4) if mfu is not None else None,
         },
     }))
@@ -202,6 +214,94 @@ def _bench_e2e(sample, rng_np):
         times.append(time.perf_counter() - t0)
     import jax as _jax
     return round(B / min(times) / _jax.device_count(), 3)
+
+
+def _make_cond_and_batch(rng, L, Bsz):
+    """Distinct CA trace + mixed residue types for one length bucket."""
+    import jax.numpy as jnp
+
+    from codlad_tpu import native
+
+    steps_v = rng.normal(size=(L + 2, 3))
+    steps_v /= np.linalg.norm(steps_v, axis=-1, keepdims=True)
+    cg_og = np.cumsum(3.8 * steps_v, axis=0).astype(np.float32)
+    pairs = native.radius_graph(cg_og[1:-1].astype(np.float64),
+                                np.ones(L, np.uint8), 21.0)
+    E = int(pairs.shape[0])
+    batch = {
+        "res_type": jnp.asarray(rng.integers(0, 20, size=(Bsz, L)).astype(np.int32)),
+        "res_mask": jnp.ones((Bsz, L), bool),
+        "cg_xyz_og": jnp.asarray(np.tile(cg_og[None], (Bsz, 1, 1))),
+        "cg_edges": jnp.asarray(np.tile(pairs[None], (Bsz, 1, 1)).astype(np.int32)),
+        "cg_edges_mask": jnp.ones((Bsz, E), bool),
+    }
+    return batch
+
+
+def _bench_e2e_mixed(model, diffusion, params_bf16, step, rng_np):
+    """Mixed-workload e2e: three length buckets with distinct conditioning
+    through the full sample->decode pipeline (the eval harness's real
+    shape mix — reference test.py:413-710 loops over proteins of many
+    sizes).  Reports aggregate structures/sec/chip across the sweep.
+    `step` is the headline bench's jitted denoise step (shared so the
+    L=128 bucket reuses its compilation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from codlad_tpu.geometry.internal import ic_to_xyz14
+    from codlad_tpu.models.denoiser import MPNNDenoiser
+    from codlad_tpu.models.vae import VAE
+    from codlad_tpu.models.vq import vq_init, vq_quantize
+
+    lengths = (64, 96, 128)
+    vae = VAE(embed_dim=36, vqdim=3, mode="vqvae", dec_nconv=4)
+    vq_state = vq_init(jax.random.PRNGKey(4), 4096, 3)
+
+    cast = lambda v: (v.astype(jnp.bfloat16)
+                      if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+                      else v)
+
+    @jax.jit
+    def decode(p, vq, b, lat):
+        lat_q, _, _, _ = vq_quantize(vq, lat, b["res_mask"], train=False)
+        ic = vae.apply(p, b, lat_q, method=VAE.decode)
+        return ic_to_xyz14(b["cg_xyz_og"], ic, b["res_type"])
+
+    buckets = []
+    vae_params = None
+    for i, L in enumerate(lengths):
+        batch = _make_cond_and_batch(rng_np, L, B)
+        if vae_params is None:
+            small = {k: v[:1, :16] if v.ndim >= 2 else v for k, v in batch.items()}
+            small["cg_xyz_og"] = batch["cg_xyz_og"][:1, :18]
+            vae_params = vae.init(jax.random.PRNGKey(3), small,
+                                  jnp.zeros((1, 16, 3)), method=VAE.decode)
+        cond = jax.jit(lambda p, r, c, m: model.apply(
+            p, r, c, m, method=MPNNDenoiser.compute_condition))(
+            params_bf16, batch["res_type"], batch["cg_xyz_og"][:, 1:-1],
+            batch["res_mask"])
+        buckets.append((L, batch, jax.tree.map(cast, cond)))
+
+    def run_bucket(key, L, batch, cond):
+        key, sub = jax.random.split(key)
+        x = jax.random.normal(sub, (B, L, 3))
+        for t_idx in reversed(range(DENOISE_STEPS)):
+            key, sub = jax.random.split(key)
+            x = step(sub, x, jnp.int32(t_idx), params_bf16, cond)
+        return decode(vae_params, vq_state, batch, x)
+
+    # warm up every bucket's compilations, then time the full sweep
+    for i, (L, batch, cond) in enumerate(buckets):
+        run_bucket(jax.random.PRNGKey(100 + i), L, batch, cond).block_until_ready()
+    times = []
+    for r in range(REPEATS):
+        t0 = time.perf_counter()
+        outs = [run_bucket(jax.random.PRNGKey(200 + 10 * r + i), L, batch, cond)
+                for i, (L, batch, cond) in enumerate(buckets)]
+        jax.block_until_ready(outs)
+        times.append(time.perf_counter() - t0)
+    import jax as _jax
+    return round(len(lengths) * B / min(times) / _jax.device_count(), 3)
 
 
 if __name__ == "__main__":

@@ -1,22 +1,44 @@
-"""Pallas TPU kernels for the MPNN message chains.
+"""Pallas TPU kernels for the MPNN message chains (forward AND backward).
 
 The denoise step's cost is dominated by [B, L, K, H] message tensors
 (B=96, L=128, K=64, H=128 -> 100M elements): the XLA path materializes
 several of them per chain (pre-activation, two hidden states) in HBM.  The
-fused kernel streams the per-edge features through VMEM once:
+fused kernels stream the per-edge features through VMEM once:
 
-    pre = A[l]  +  E[l,k] @ W_e  +  G[idx[l,k]]           (gather in VMEM)
-    m   = gelu(gelu(pre) @ W2 + b2) @ W3 + b3
-    out[l] = sum_k mask[l,k] * m[l,k] / scale              (sum variant)
+    pre = A[l]  +  E[l,k] @ W_e  +  G[idx[l,k]]          (gather in VMEM)
+    m   = gelu(gelu(pre) @ W2 + b2)
+    out[l] = (sum_k mask[l,k] * m[l,k]) @ W3 + ...        (sum variant)
 
-HBM traffic per chain drops from ~1.4 GB to ~200 MB (one read of E).  The
-neighbor gather happens inside VMEM via an on-the-fly one-hot matmul
-(selection matrices hit the MXU; dynamic row loads would serialize).
+Design points (round 3):
+  * The gather's one-hot selection matrix comes in TWO modes, chosen by
+    whether the caller provides it: `onehot` as an HBM operand (built
+    once per conditioning batch; its per-tile DMA overlaps the MXU so the
+    reads are effectively free — device traces show this is the FASTER
+    mode, since every chain is bound by serial in-tile compute, not HBM),
+    or an on-the-fly iota-compare over the int32 indices in VMEM (zero
+    HBM footprint; the right mode when no one-hot is materialized, e.g.
+    L > 256 where the [B, L*K, L] matrix stops paying for itself).
+  * For the masked-sum variant, W3 is applied AFTER the K-sum: the sum
+    commutes with the linear map (sum_k m_k (W3 x_k + b3) =
+    W3 sum_k m_k x_k + (sum_k m_k) b3), turning a per-edge [N,H]@[H,H]
+    matmul into a per-node [TL,H]@[H,H] one — 64x fewer rows.
+  * Each kernel carries a pl.CostEstimate with its true MXU FLOPs so XLA
+    cost analysis (and bench.py's MFU figure) sees the Pallas work.
+    (Round 2's reported 1.85% MFU was an accounting artifact: cost
+    analysis scores pallas_call as 0 FLOPs without an estimate, so only
+    the ~30 GFLOP of non-Pallas ops counted; the chains are ~790 GFLOP.)
+  * The backwards are Pallas kernels too: they RECOMPUTE the chain
+    activations in VMEM (flash-attention-style) instead of replaying the
+    pure-JAX forward, which re-materialized three [B, L, K, H] tensors in
+    HBM per chain — this is where Stage-2 training perf lives.  They
+    reuse the forward's one-hot operand when one exists.
 
-`fused_message_sum` / `fused_message_edge` carry a custom_vjp whose backward
-re-derives gradients from the pure-JAX reference implementation, so the
-kernels are usable in training too.  On non-TPU backends the reference
-implementation runs directly.
+On non-TPU backends the pure-JAX reference implementations run directly
+(their take_along_axis gathers are fine on CPU), and the same kernels run
+under interpret mode in tests (both selection modes).
+
+Reference for the math being fused: models/protein_mpnn_utils.py:208-318
+(EncLayer_diffusion / DecLayer_diffusion message MLPs).
 """
 
 from __future__ import annotations
@@ -33,12 +55,26 @@ try:  # pltpu only exists with TPU support compiled in
 except Exception:  # pragma: no cover
     pltpu = None
 
+_SQRT_2_OVER_PI = 0.7978845608028654
+_GELU_C = 0.044715
+
 
 def _gelu(x):
     # tanh-approximate gelu: Pallas TPU cannot lower erf/erfc, and the
     # approximation error (~1e-3) is below bf16 resolution anyway.  Used
-    # consistently in the kernel, the reference twin, and the backward.
+    # consistently in the kernels, the reference twins, and the backwards.
     return jax.nn.gelu(x, approximate=True)
+
+
+def _gelu_and_grad(x):
+    """gelu(x) and d gelu(x)/dx for the tanh approximation, sharing the
+    tanh evaluation (the expensive transcendental)."""
+    u = _SQRT_2_OVER_PI * (x + _GELU_C * x * x * x)
+    t = jnp.tanh(u)
+    y = 0.5 * x * (1.0 + t)
+    dy = 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * _SQRT_2_OVER_PI * (
+        1.0 + 3.0 * _GELU_C * x * x)
+    return y, dy
 
 
 def _use_pallas():
@@ -49,219 +85,34 @@ def _use_pallas():
 
 
 # ---------------------------------------------------------------------------
-# reference implementations (ground truth + backward + non-TPU fallback)
+# reference implementations (ground truth + non-TPU fallback)
 
 
-def _gather_nbr(Gn, idx, onehot=None):
-    """Neighbor gather; uses the one-hot contraction when available (its
-    gradient is a matmul — take_along_axis backward is a serial TPU
-    scatter-add)."""
+def _gather_nbr(Gn, idx):
     B, L, H = Gn.shape
     K = idx.shape[-1]
-    if onehot is not None:
-        out = jnp.einsum("bnl,blh->bnh", onehot, Gn.astype(onehot.dtype))
-        return out.reshape(B, L, K, H).astype(Gn.dtype)
     return jnp.take_along_axis(Gn, idx.reshape(B, L * K, 1), axis=1).reshape(B, L, K, H)
 
 
-def _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3, onehot=None):
+def _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3):
     """[B, L, K, H] messages before mask/sum."""
-    g = _gather_nbr(Gn, idx, onehot)
+    g = _gather_nbr(Gn, idx)
     pre = A[:, :, None, :] + E @ W_e + g
     x = _gelu(pre) @ W2 + b2
     return _gelu(x) @ W3 + b3
 
 
-def _ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale,
-                     onehot=None):
-    m = _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3, onehot)
+def _ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale):
+    m = _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3)
     m = m * mask[..., None].astype(m.dtype)
     # f32 like the pallas kernel's output, so fwd/bwd dtypes agree under
     # bf16 mixed precision
     return (m.sum(axis=2) / scale).astype(jnp.float32)
 
 
-# ---------------------------------------------------------------------------
-# pallas kernels
-
-
-def _sum_kernel(oh_ref, a_ref, e_ref, g_ref, mask_ref, we_ref, w2_ref,
-                b2_ref, w3_ref, b3_ref, out_ref):
-    TL, K, H = e_ref.shape[1], e_ref.shape[2], e_ref.shape[3]
-    f32 = jnp.float32
-
-    # NB: all reshapes merge/split LEADING dims only (Mosaic cannot shape-
-    # cast across the minor/lane dimension).
-    e = e_ref[0].reshape(TL * K, H)
-    onehot = oh_ref[0]  # [TL*K, L] selection matrix, precomputed once
-    g = jnp.dot(onehot, g_ref[0], preferred_element_type=f32)
-    a = jnp.broadcast_to(a_ref[0][:, None, :].astype(f32),
-                         (TL, K, H)).reshape(TL * K, H)
-    pre = a + jnp.dot(e, we_ref[...], preferred_element_type=f32) + g
-    x = jnp.dot(_gelu(pre).astype(e.dtype), w2_ref[...],
-                preferred_element_type=f32) + b2_ref[...].astype(f32)
-    x = jnp.dot(_gelu(x).astype(e.dtype), w3_ref[...],
-                preferred_element_type=f32) + b3_ref[...].astype(f32)
-    x3 = x.reshape(TL, K, H) * mask_ref[0][..., None].astype(f32)
-    out_ref[0] = x3.sum(axis=1).astype(out_ref.dtype)
-
-
-def _edge_kernel(oh_ref, a_ref, e_ref, g_ref, we_ref, w2_ref, b2_ref,
-                 w3_ref, b3_ref, out_ref):
-    TL, K, H = e_ref.shape[1], e_ref.shape[2], e_ref.shape[3]
-    f32 = jnp.float32
-
-    e = e_ref[0].reshape(TL * K, H)
-    onehot = oh_ref[0]  # [TL*K, L] selection matrix, precomputed once
-    g = jnp.dot(onehot, g_ref[0], preferred_element_type=f32)
-    a = jnp.broadcast_to(a_ref[0][:, None, :].astype(f32),
-                         (TL, K, H)).reshape(TL * K, H)
-    pre = a + jnp.dot(e, we_ref[...], preferred_element_type=f32) + g
-    x = jnp.dot(_gelu(pre).astype(e.dtype), w2_ref[...],
-                preferred_element_type=f32) + b2_ref[...].astype(f32)
-    x = jnp.dot(_gelu(x).astype(e.dtype), w3_ref[...],
-                preferred_element_type=f32) + b3_ref[...].astype(f32)
-    out_ref[0] = x.reshape(TL, K, H).astype(out_ref.dtype)
-
-
-def _tile_rows(L, K=64, H=128):
-    """Largest row tile whose working set (E block bf16 + two f32
-    intermediates, double-buffered input) stays well under VMEM."""
-    budget = 8 * 1024 * 1024
-    for tl in (128, 64, 32, 16, 8, 4, 2, 1):
-        if L % tl == 0 and tl * K * H * (2 * 2 + 4 * 2) <= budget:
-            return tl
-    return 1
-
-
-def _pallas_message_sum(A, E, Gn, onehot, mask, W_e, W2, b2, W3, b3, scale):
-    B, L, K, H = E.shape
-    TL = _tile_rows(L, K, H)
-    grid = (B, L // TL)
-    dt = E.dtype
-
-    out = pl.pallas_call(
-        _sum_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, TL * K, L), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, TL, H), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, L, H), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, TL, K), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
-            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
-            pl.BlockSpec((H,), lambda b, i: (0,)),
-            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
-            pl.BlockSpec((H,), lambda b, i: (0,)),
-        ],
-        out_specs=pl.BlockSpec((1, TL, H), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, L, H), jnp.float32),
-    )(onehot.astype(dt), A.astype(dt), E, Gn.astype(dt),
-      mask.astype(jnp.float32), W_e.astype(dt), W2.astype(dt), b2,
-      W3.astype(dt), b3)
-    return out / scale
-
-
-def _pallas_message_edge(A, E, Gn, onehot, W_e, W2, b2, W3, b3):
-    B, L, K, H = E.shape
-    TL = _tile_rows(L, K, H)
-    grid = (B, L // TL)
-    dt = E.dtype
-
-    return pl.pallas_call(
-        _edge_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, TL * K, L), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, TL, H), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, L, H), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
-            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
-            pl.BlockSpec((H,), lambda b, i: (0,)),
-            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
-            pl.BlockSpec((H,), lambda b, i: (0,)),
-        ],
-        out_specs=pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, L, K, H), E.dtype),
-    )(onehot.astype(dt), A.astype(dt), E, Gn.astype(dt),
-      W_e.astype(dt), W2.astype(dt), b2, W3.astype(dt), b3)
-
-
-# ---------------------------------------------------------------------------
-# public API with custom vjp (backward via the reference implementation)
-
-
-@jax.custom_vjp
-def fused_message_sum(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale):
-    """Masked, K-summed message chain -> [B, L, H] (f32).
-
-    idx [B,L,K] drives the fallback; onehot [B, L*K, L] (bf16, built once
-    per conditioning via nn.mpnn.make_neighbor_gather) drives the kernel.
-    """
-    if _use_pallas() and onehot is not None:
-        return _pallas_message_sum(A, E, Gn, onehot, mask, W_e, W2, b2, W3, b3, scale)
-    return _ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale)
-
-
-def _sum_fwd(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale):
-    out = fused_message_sum(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale)
-    return out, (A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale)
-
-
-def _sum_bwd(res, g):
-    A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale = res
-    _, vjp = jax.vjp(
-        lambda A, E, Gn, W_e, W2, b2, W3, b3: _ref_message_sum(
-            A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale, onehot),
-        A, E, Gn, W_e, W2, b2, W3, b3)
-    dA, dE, dGn, dW_e, dW2, db2, dW3, db3 = vjp(g)
-    return dA, dE, dGn, None, None, None, dW_e, dW2, db2, dW3, db3, None
-
-
-fused_message_sum.defvjp(_sum_fwd, _sum_bwd)
-
-
-@jax.custom_vjp
-def fused_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
-    """Unsummed message chain -> [B, L, K, H] (input dtype)."""
-    if _use_pallas() and onehot is not None:
-        return _pallas_message_edge(A, E, Gn, onehot, W_e, W2, b2, W3, b3)
-    return _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3).astype(E.dtype)
-
-
-def _edge_fwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
-    out = fused_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3)
-    return out, (A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3)
-
-
-def _edge_bwd(res, g):
-    A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3 = res
-    _, vjp = jax.vjp(
-        lambda A, E, Gn, W_e, W2, b2, W3, b3: _ref_message(
-            A, E, Gn, idx, W_e, W2, b2, W3, b3, onehot).astype(E.dtype),
-        A, E, Gn, W_e, W2, b2, W3, b3)
-    dA, dE, dGn, dW_e, dW2, db2, dW3, db3 = vjp(g)
-    return dA, dE, dGn, None, None, dW_e, dW2, db2, dW3, db3
-
-
-fused_message_edge.defvjp(_edge_fwd, _edge_bwd)
-
-
-# ---------------------------------------------------------------------------
-# edge chain + LayerNorm + adaLN epilogue (the encoder's h_E update)
-#
-# Profiling the sampling step: each encoder edge update cost ~2.4 ms — the
-# message kernel wrote [B, L, K, H] to HBM and two more fusions re-read it
-# for LayerNorm statistics and the modulate/gate.  Folding the epilogue
-# h_E' = g * ((LN(h_E + msg)) * (1 + sc) + sh) into the kernel removes two
-# full [B, L, K, H] HBM round trips per encoder layer.
-
-
 def _ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
-                            sh, sc, g, onehot=None, eps=1e-6):
-    msg = _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3, onehot)
+                            sh, sc, g, eps=1e-6):
+    msg = _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3)
     resid = (E + msg.astype(E.dtype)).astype(jnp.float32)
     mean = resid.mean(axis=-1, keepdims=True)
     var = ((resid - mean) ** 2).mean(axis=-1, keepdims=True)
@@ -271,22 +122,95 @@ def _ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
     return out.astype(E.dtype)
 
 
-def _edge_lnmod_kernel(oh_ref, a_ref, e_ref, g_ref, we_ref, w2_ref, b2_ref,
-                       w3_ref, b3_ref, sh_ref, sc_ref, gate_ref, out_ref):
+# ---------------------------------------------------------------------------
+# shared in-kernel helpers
+
+
+def _selection(sel_ref, L, dtype, has_oh):
+    """The [TL*K, L] one-hot selection matrix for one tile: either read
+    straight from the HBM operand (has_oh — the DMA overlaps the MXU) or
+    built in VMEM by an iota-compare over the int32 indices."""
+    if has_oh:
+        return sel_ref[0]                                # [TL*K, L]
+    idx = sel_ref[0]                                     # [TL, K]
+    TL, K = idx.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (TL, K, L), 2)
+    oh = (idx[:, :, None] == iota).astype(dtype)
+    return oh.reshape(TL * K, L)                         # leading-dim merge
+
+
+def _chain_fwd(a_ref, e_ref, oh, g_ref, we_ref, w2_ref, b2_ref):
+    """pre -> h2 = gelu(gelu(pre) @ W2 + b2) for one [TL, K] edge tile.
+    Returns (pre, x2, h2) in f32 ([TL*K, H]).
+
+    Measured dead end worth recording: keeping the elementwise chain in
+    bf16 (f32 MXU accumulators, outputs cast down) LOST ~40% — Mosaic
+    wraps narrow VPU ops in pack/unpack, so the f32 interior is faster
+    despite double the vector width.  Mosaic also rejects bf16 matmul
+    accumulators outright ("matmul acc must be 32-bit")."""
     TL, K, H = e_ref.shape[1], e_ref.shape[2], e_ref.shape[3]
     f32 = jnp.float32
-
     e = e_ref[0].reshape(TL * K, H)
-    onehot = oh_ref[0]
-    gn = jnp.dot(onehot, g_ref[0], preferred_element_type=f32)
+    g = jnp.dot(oh, g_ref[0], preferred_element_type=f32)
     a = jnp.broadcast_to(a_ref[0][:, None, :].astype(f32),
                          (TL, K, H)).reshape(TL * K, H)
-    pre = a + jnp.dot(e, we_ref[...], preferred_element_type=f32) + gn
-    x = jnp.dot(_gelu(pre).astype(e.dtype), w2_ref[...],
-                preferred_element_type=f32) + b2_ref[...].astype(f32)
-    x = jnp.dot(_gelu(x).astype(e.dtype), w3_ref[...],
+    pre = a + jnp.dot(e, we_ref[...], preferred_element_type=f32) + g
+    x2 = jnp.dot(_gelu(pre).astype(e.dtype), w2_ref[...],
+                 preferred_element_type=f32) + b2_ref[...].astype(f32)
+    return pre, x2, _gelu(x2)
+
+
+# ---------------------------------------------------------------------------
+# forward kernels
+
+
+def _sum_kernel(sel_ref, a_ref, e_ref, g_ref, mask_ref, we_ref, w2_ref,
+                b2_ref, w3_ref, b3_ref, out_ref, *, has_oh):
+    TL, K, H = e_ref.shape[1], e_ref.shape[2], e_ref.shape[3]
+    L = g_ref.shape[1]
+    f32 = jnp.float32
+    dt = e_ref.dtype
+
+    # NB: all reshapes merge/split LEADING dims only (Mosaic cannot shape-
+    # cast across the minor/lane dimension).
+    oh = _selection(sel_ref, L, dt, has_oh)
+    _, _, h2 = _chain_fwd(a_ref, e_ref, oh, g_ref, we_ref, w2_ref, b2_ref)
+    maskf = mask_ref[0].astype(f32)                      # [TL, K]
+    s = (h2.reshape(TL, K, H) * maskf[..., None]).sum(axis=1)   # [TL, H]
+    # W3 after the sum (linearity): per-node matmul, K-fold fewer rows
+    out = jnp.dot(s.astype(dt), w3_ref[...], preferred_element_type=f32)
+    out = out + maskf.sum(axis=1)[:, None] * b3_ref[...].astype(f32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _edge_kernel(sel_ref, a_ref, e_ref, g_ref, we_ref, w2_ref, b2_ref,
+                 w3_ref, b3_ref, out_ref, *, has_oh):
+    TL, K, H = e_ref.shape[1], e_ref.shape[2], e_ref.shape[3]
+    L = g_ref.shape[1]
+    f32 = jnp.float32
+    dt = e_ref.dtype
+
+    oh = _selection(sel_ref, L, dt, has_oh)
+    _, _, h2 = _chain_fwd(a_ref, e_ref, oh, g_ref, we_ref, w2_ref, b2_ref)
+    x = jnp.dot(h2.astype(dt), w3_ref[...],
                 preferred_element_type=f32) + b3_ref[...].astype(f32)
-    resid = (e + x.astype(e.dtype)).astype(f32)
+    out_ref[0] = x.reshape(TL, K, H).astype(out_ref.dtype)
+
+
+def _edge_lnmod_kernel(sel_ref, a_ref, e_ref, g_ref, we_ref, w2_ref, b2_ref,
+                       w3_ref, b3_ref, sh_ref, sc_ref, gate_ref, out_ref,
+                       *, has_oh):
+    TL, K, H = e_ref.shape[1], e_ref.shape[2], e_ref.shape[3]
+    L = g_ref.shape[1]
+    f32 = jnp.float32
+    dt = e_ref.dtype
+
+    oh = _selection(sel_ref, L, dt, has_oh)
+    _, _, h2 = _chain_fwd(a_ref, e_ref, oh, g_ref, we_ref, w2_ref, b2_ref)
+    x = jnp.dot(h2.astype(dt), w3_ref[...],
+                preferred_element_type=f32) + b3_ref[...].astype(f32)
+    e = e_ref[0].reshape(TL * K, H)
+    resid = e.astype(f32) + x
     mean = resid.mean(axis=-1, keepdims=True)
     var = ((resid - mean) ** 2).mean(axis=-1, keepdims=True)
     ln = (resid - mean) * jax.lax.rsqrt(var + 1e-6)
@@ -297,36 +221,504 @@ def _edge_lnmod_kernel(oh_ref, a_ref, e_ref, g_ref, we_ref, w2_ref, b2_ref,
     out_ref[0] = out.reshape(TL, K, H).astype(out_ref.dtype)
 
 
-def _pallas_message_edge_lnmod(A, E, Gn, onehot, W_e, W2, b2, W3, b3,
+def _tile_rows(L, K=64, H=128, bytes_per_edge_elem=12):
+    """Largest row tile whose per-edge working set stays well under VMEM
+    (double-buffered inputs included in the byte estimate)."""
+    budget = 8 * 1024 * 1024
+    for tl in (128, 64, 32, 16, 8, 4, 2, 1):
+        if L % tl == 0 and tl * K * H * bytes_per_edge_elem <= budget:
+            return tl
+    return 1
+
+
+def _chain_cost(B, L, K, H, TL, edge_w3=True, epilogue_elems=0):
+    """True MXU FLOPs of one full chain invocation (for pl.CostEstimate):
+    gather matmul + W_e + W2 (+ per-edge or per-node W3)."""
+    N = B * L * K
+    flops = 2 * N * L * H            # one-hot gather contraction
+    flops += 2 * N * H * H           # W_e
+    flops += 2 * N * H * H           # W2
+    flops += 2 * (N if edge_w3 else B * L) * H * H   # W3
+    bytes_acc = N * H * 2 * (2 if edge_w3 else 1) + B * L * H * 8
+    return pl.CostEstimate(flops=flops, bytes_accessed=int(bytes_acc),
+                           transcendentals=2 * N * H + epilogue_elems)
+
+
+def _sel_operand(idx, onehot, dt, TL):
+    """(operand, BlockSpec, has_oh) for the selection input."""
+    B, L, K = idx.shape
+    if onehot is not None:
+        spec = pl.BlockSpec((1, TL * K, L), lambda b, i: (b, i, 0))
+        return onehot.astype(dt), spec, True
+    spec = pl.BlockSpec((1, TL, K), lambda b, i: (b, i, 0))
+    return idx, spec, False
+
+
+def _common_specs(TL, K, H, L):
+    """BlockSpecs shared by every kernel: A, E, Gn."""
+    return [
+        pl.BlockSpec((1, TL, H), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0)),
+        pl.BlockSpec((1, L, H), lambda b, i: (b, 0, 0)),
+    ]
+
+
+def _weight_specs(H):
+    return [
+        pl.BlockSpec((H, H), lambda b, i: (0, 0)),
+        pl.BlockSpec((H, H), lambda b, i: (0, 0)),
+        pl.BlockSpec((H,), lambda b, i: (0,)),
+        pl.BlockSpec((H, H), lambda b, i: (0, 0)),
+        pl.BlockSpec((H,), lambda b, i: (0,)),
+    ]
+
+
+def _pallas_message_sum(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3,
+                        scale):
+    B, L, K, H = E.shape
+    TL = _tile_rows(L, K, H)
+    grid = (B, L // TL)
+    dt = E.dtype
+    sel, sel_spec, has_oh = _sel_operand(idx, onehot, dt, TL)
+
+    out = pl.pallas_call(
+        functools.partial(_sum_kernel, has_oh=has_oh),
+        grid=grid,
+        in_specs=([sel_spec] + _common_specs(TL, K, H, L)
+                  + [pl.BlockSpec((1, TL, K), lambda b, i: (b, i, 0))]
+                  + _weight_specs(H)),
+        out_specs=pl.BlockSpec((1, TL, H), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, H), jnp.float32),
+        cost_estimate=_chain_cost(B, L, K, H, TL, edge_w3=False),
+    )(sel, A.astype(dt), E, Gn.astype(dt),
+      mask.astype(jnp.float32), W_e.astype(dt), W2.astype(dt), b2,
+      W3.astype(dt), b3)
+    return out / scale
+
+
+def _pallas_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
+    B, L, K, H = E.shape
+    TL = _tile_rows(L, K, H)
+    grid = (B, L // TL)
+    dt = E.dtype
+    sel, sel_spec, has_oh = _sel_operand(idx, onehot, dt, TL)
+
+    return pl.pallas_call(
+        functools.partial(_edge_kernel, has_oh=has_oh),
+        grid=grid,
+        in_specs=[sel_spec] + _common_specs(TL, K, H, L) + _weight_specs(H),
+        out_specs=pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, K, H), E.dtype),
+        cost_estimate=_chain_cost(B, L, K, H, TL),
+    )(sel, A.astype(dt), E, Gn.astype(dt),
+      W_e.astype(dt), W2.astype(dt), b2, W3.astype(dt), b3)
+
+
+def _pallas_message_edge_lnmod(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3,
                                sh, sc, g):
     B, L, K, H = E.shape
     TL = _tile_rows(L, K, H)
     grid = (B, L // TL)
     dt = E.dtype
+    sel, sel_spec, has_oh = _sel_operand(idx, onehot, dt, TL)
 
+    mod_spec = pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0))
     return pl.pallas_call(
-        _edge_lnmod_kernel,
+        functools.partial(_edge_lnmod_kernel, has_oh=has_oh),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, TL * K, L), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, TL, H), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, L, H), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
-            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
-            pl.BlockSpec((H,), lambda b, i: (0,)),
-            pl.BlockSpec((H, H), lambda b, i: (0, 0)),
-            pl.BlockSpec((H,), lambda b, i: (0,)),
-            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0)),
-        ],
+        in_specs=([sel_spec] + _common_specs(TL, K, H, L) + _weight_specs(H)
+                  + [mod_spec, mod_spec, mod_spec]),
         out_specs=pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, L, K, H), E.dtype),
-    )(onehot.astype(dt), A.astype(dt), E, Gn.astype(dt),
+        cost_estimate=_chain_cost(B, L, K, H, TL,
+                                  epilogue_elems=B * L * K * H),
+    )(sel, A.astype(dt), E, Gn.astype(dt),
       W_e.astype(dt), W2.astype(dt), b2, W3.astype(dt), b3,
       sh.astype(dt)[:, None, :], sc.astype(dt)[:, None, :],
       g.astype(dt)[:, None, :])
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+#
+# Strategy: recompute the chain activations (pre, x2) tile-by-tile in VMEM
+# from the saved INPUTS (A, E, Gn, weights) — nothing [B, L, K, H]-sized is
+# saved or re-read beyond one pass over E.  Weight gradients accumulate in
+# VMEM-resident output blocks across the sequential TPU grid (constant
+# index_map); dGn accumulates per-sample over the L-tile grid dimension.
+
+
+def _bwd_accumulate(ref, value, first):
+    @pl.when(first)
+    def _():
+        ref[...] = jnp.zeros_like(ref)
+    ref[...] += value
+
+
+def _chain_bwd_common(dpre, e, oh, we_ref, b_first, i_first,
+                      dwe_ref, dgn_ref, da_ref, de_ref, TL, K, H,
+                      de_extra=None):
+    """Shared tail of every backward: from d(pre) to dE/dA/dGn/dW_e."""
+    f32 = jnp.float32
+    dt = e.dtype
+    de = jnp.dot(dpre.astype(dt), we_ref[...].T, preferred_element_type=f32)
+    if de_extra is not None:
+        de = de + de_extra
+    de_ref[0] = de.reshape(TL, K, H).astype(de_ref.dtype)
+    da_ref[0] = dpre.reshape(TL, K, H).sum(axis=1).astype(da_ref.dtype)
+    # scatter-add via the transposed one-hot (a matmul, not a serial store)
+    dgn = jax.lax.dot_general(oh, dpre.astype(dt),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    _bwd_accumulate(dgn_ref, dgn[None], i_first)
+    dwe = jax.lax.dot_general(e, dpre.astype(dt), (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    _bwd_accumulate(dwe_ref, dwe, b_first & i_first)
+
+
+def _sum_bwd_kernel(sel_ref, a_ref, e_ref, g_ref, mask_ref, we_ref, w2_ref,
+                    b2_ref, w3_ref, dout_ref,
+                    da_ref, de_ref, dgn_ref, dwe_ref, dw2_ref, db2_ref,
+                    dw3_ref, db3_ref, *, has_oh):
+    TL, K, H = e_ref.shape[1], e_ref.shape[2], e_ref.shape[3]
+    L = g_ref.shape[1]
+    f32 = jnp.float32
+    dt = e_ref.dtype
+    b_first = pl.program_id(0) == 0
+    i_first = pl.program_id(1) == 0
+
+    oh = _selection(sel_ref, L, dt, has_oh)
+    pre, x2, h2 = _chain_fwd(a_ref, e_ref, oh, g_ref, we_ref, w2_ref, b2_ref)
+    e = e_ref[0].reshape(TL * K, H)
+    maskf = mask_ref[0].astype(f32)                      # [TL, K]
+    dout = dout_ref[0].astype(f32)                       # [TL, H] (pre-scaled)
+
+    # out = s @ W3 + (sum_k mask) b3, s = sum_k mask * h2
+    s = (h2.reshape(TL, K, H) * maskf[..., None]).sum(axis=1)
+    ds = jax.lax.dot_general(dout.astype(dt), w3_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    dw3 = jax.lax.dot_general(s.astype(dt), dout.astype(dt),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    _bwd_accumulate(dw3_ref, dw3, b_first & i_first)
+    _bwd_accumulate(db3_ref, (maskf.sum(axis=1)[:, None] * dout
+                              ).sum(axis=0, keepdims=True),
+                    b_first & i_first)
+
+    dh2 = (jnp.broadcast_to(ds[:, None, :], (TL, K, H))
+           * maskf[..., None]).reshape(TL * K, H)
+    _, dg2 = _gelu_and_grad(x2)
+    dx2 = dh2 * dg2
+    h1, dg1 = _gelu_and_grad(pre)
+    dw2 = jax.lax.dot_general(h1.astype(dt), dx2.astype(dt),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    _bwd_accumulate(dw2_ref, dw2, b_first & i_first)
+    _bwd_accumulate(db2_ref, dx2.sum(axis=0, keepdims=True),
+                    b_first & i_first)
+    dh1 = jax.lax.dot_general(dx2.astype(dt), w2_ref[...],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    dpre = dh1 * dg1
+    _chain_bwd_common(dpre, e, oh, we_ref, b_first, i_first,
+                      dwe_ref, dgn_ref, da_ref, de_ref, TL, K, H)
+
+
+def _edge_bwd_core(pre, x2, h2, e, oh, we_ref, w2_ref, w3_ref, dmsg,
+                   da_ref, de_ref, dgn_ref, dwe_ref, dw2_ref,
+                   db2_ref, dw3_ref, db3_ref, TL, K, H, de_extra=None):
+    """Backward of the per-edge chain given d(msg) [TL*K, H] f32 and the
+    already-recomputed activations (pre, x2, h2)."""
+    f32 = jnp.float32
+    dt = e.dtype
+    b_first = pl.program_id(0) == 0
+    i_first = pl.program_id(1) == 0
+
+    dh2 = jax.lax.dot_general(dmsg.astype(dt), w3_ref[...],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    dw3 = jax.lax.dot_general(h2.astype(dt), dmsg.astype(dt),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    _bwd_accumulate(dw3_ref, dw3, b_first & i_first)
+    _bwd_accumulate(db3_ref, dmsg.sum(axis=0, keepdims=True),
+                    b_first & i_first)
+    _, dg2 = _gelu_and_grad(x2)
+    dx2 = dh2 * dg2
+    h1, dg1 = _gelu_and_grad(pre)
+    dw2 = jax.lax.dot_general(h1.astype(dt), dx2.astype(dt),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    _bwd_accumulate(dw2_ref, dw2, b_first & i_first)
+    _bwd_accumulate(db2_ref, dx2.sum(axis=0, keepdims=True),
+                    b_first & i_first)
+    dh1 = jax.lax.dot_general(dx2.astype(dt), w2_ref[...],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    dpre = dh1 * dg1
+    _chain_bwd_common(dpre, e, oh, we_ref, b_first, i_first,
+                      dwe_ref, dgn_ref, da_ref, de_ref, TL, K, H,
+                      de_extra=de_extra)
+
+
+def _edge_bwd_kernel(sel_ref, a_ref, e_ref, g_ref, we_ref, w2_ref, b2_ref,
+                     w3_ref, dout_ref,
+                     da_ref, de_ref, dgn_ref, dwe_ref, dw2_ref, db2_ref,
+                     dw3_ref, db3_ref, *, has_oh):
+    TL, K, H = e_ref.shape[1], e_ref.shape[2], e_ref.shape[3]
+    L = g_ref.shape[1]
+    oh = _selection(sel_ref, L, e_ref.dtype, has_oh)
+    pre, x2, h2 = _chain_fwd(a_ref, e_ref, oh, g_ref, we_ref, w2_ref, b2_ref)
+    e = e_ref[0].reshape(TL * K, H)
+    dmsg = dout_ref[0].reshape(TL * K, H).astype(jnp.float32)
+    _edge_bwd_core(pre, x2, h2, e, oh, we_ref, w2_ref, w3_ref, dmsg,
+                   da_ref, de_ref, dgn_ref, dwe_ref, dw2_ref,
+                   db2_ref, dw3_ref, db3_ref, TL, K, H)
+
+
+def _edge_lnmod_bwd_kernel(sel_ref, a_ref, e_ref, g_ref, we_ref, w2_ref,
+                           b2_ref, w3_ref, b3_ref, sc_ref, gate_ref, dout_ref,
+                           da_ref, de_ref, dgn_ref, dwe_ref, dw2_ref,
+                           db2_ref, dw3_ref, db3_ref, dsh_ref, dsc_ref,
+                           dgate_ref, *, has_oh):
+    TL, K, H = e_ref.shape[1], e_ref.shape[2], e_ref.shape[3]
+    L = g_ref.shape[1]
+    f32 = jnp.float32
+    dt = e_ref.dtype
+    b_first = pl.program_id(0) == 0
+    i_first = pl.program_id(1) == 0
+
+    # recompute forward through the LN (needs msg -> resid -> ln)
+    oh = _selection(sel_ref, L, dt, has_oh)
+    pre, x2, h2 = _chain_fwd(a_ref, e_ref, oh, g_ref, we_ref, w2_ref, b2_ref)
+    x = jnp.dot(h2.astype(dt), w3_ref[...],
+                preferred_element_type=f32) + b3_ref[...].astype(f32)
+    e = e_ref[0].reshape(TL * K, H)
+    resid = e.astype(f32) + x
+    mean = resid.mean(axis=-1, keepdims=True)
+    var = ((resid - mean) ** 2).mean(axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + 1e-6)
+    ln = (resid - mean) * r
+
+    sc = sc_ref[0].astype(f32)          # [1, H]
+    gate = gate_ref[0].astype(f32)
+    dct = dout_ref[0].reshape(TL * K, H).astype(f32)
+
+    # epilogue grads.  out = gate * (ln*(1+sc) + sh):
+    #   dsh  = sum_n dct*gate
+    #   dsc  = sum_n dct*gate*ln
+    #   dgate = sum_n dct*(ln*(1+sc) + sh) — the dct*sh term is added in
+    #   the wrapper (sh*sum(dct) is a cheap XLA reduction; sh itself is
+    #   not shipped into VMEM since nothing else here needs it)
+    dg_out = dct * gate
+    _bwd_accumulate(dsh_ref, dg_out.sum(axis=0, keepdims=True)[None],
+                    i_first)
+    _bwd_accumulate(dsc_ref, (dg_out * ln).sum(axis=0, keepdims=True)[None],
+                    i_first)
+    dgate_val = dct * (ln * (1.0 + sc))
+    dln = dg_out * (1.0 + sc)
+    # LayerNorm backward (per edge row over H)
+    m1 = dln.mean(axis=-1, keepdims=True)
+    m2 = (dln * ln).mean(axis=-1, keepdims=True)
+    dresid = r * (dln - m1 - ln * m2)
+    _edge_bwd_core(pre, x2, h2, e, oh, we_ref, w2_ref, w3_ref, dresid,
+                   da_ref, de_ref, dgn_ref, dwe_ref,
+                   dw2_ref, db2_ref, dw3_ref, db3_ref, TL, K, H,
+                   de_extra=dresid)
+    _bwd_accumulate(dgate_ref, dgate_val.sum(axis=0, keepdims=True)[None],
+                    i_first)
+
+
+def _bwd_tile(L, K, H):
+    return _tile_rows(L, K, H, bytes_per_edge_elem=26)
+
+
+def _bwd_weight_outs(H):
+    specs = [
+        pl.BlockSpec((H, H), lambda b, i: (0, 0)),   # dW_e
+        pl.BlockSpec((H, H), lambda b, i: (0, 0)),   # dW2
+        pl.BlockSpec((1, H), lambda b, i: (0, 0)),   # db2
+        pl.BlockSpec((H, H), lambda b, i: (0, 0)),   # dW3
+        pl.BlockSpec((1, H), lambda b, i: (0, 0)),   # db3
+    ]
+    shapes = [jax.ShapeDtypeStruct((H, H), jnp.float32),
+              jax.ShapeDtypeStruct((H, H), jnp.float32),
+              jax.ShapeDtypeStruct((1, H), jnp.float32),
+              jax.ShapeDtypeStruct((H, H), jnp.float32),
+              jax.ShapeDtypeStruct((1, H), jnp.float32)]
+    return specs, shapes
+
+
+def _bwd_data_outs(B, L, K, H, TL, edt):
+    """dE comes out in E's own dtype (halves its VMEM + HBM footprint
+    under bf16; in f32 tests it stays exact)."""
+    specs = [
+        pl.BlockSpec((1, TL, H), lambda b, i: (b, i, 0)),      # dA
+        pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0)),  # dE
+        pl.BlockSpec((1, L, H), lambda b, i: (b, 0, 0)),       # dGn
+    ]
+    shapes = [jax.ShapeDtypeStruct((B, L, H), jnp.float32),
+              jax.ShapeDtypeStruct((B, L, K, H), edt),
+              jax.ShapeDtypeStruct((B, L, H), jnp.float32)]
+    return specs, shapes
+
+
+def _pallas_sum_bwd(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, dout):
+    B, L, K, H = E.shape
+    TL = _bwd_tile(L, K, H)
+    dt = E.dtype
+    sel, sel_spec, has_oh = _sel_operand(idx, onehot, dt, TL)
+    d_specs, d_shapes = _bwd_data_outs(B, L, K, H, TL, dt)
+    w_specs, w_shapes = _bwd_weight_outs(H)
+    return pl.pallas_call(
+        functools.partial(_sum_bwd_kernel, has_oh=has_oh),
+        grid=(B, L // TL),
+        in_specs=([sel_spec] + _common_specs(TL, K, H, L)
+                  + [pl.BlockSpec((1, TL, K), lambda b, i: (b, i, 0))]
+                  + _weight_specs(H)[:3]
+                  + [pl.BlockSpec((H, H), lambda b, i: (0, 0)),
+                     pl.BlockSpec((1, TL, H), lambda b, i: (b, i, 0))]),
+        out_specs=d_specs + w_specs,
+        out_shape=d_shapes + w_shapes,
+        cost_estimate=_chain_cost(B, L, K, H, TL, edge_w3=False),
+    )(sel, A.astype(dt), E, Gn.astype(dt), mask.astype(jnp.float32),
+      W_e.astype(dt), W2.astype(dt), b2, W3.astype(dt),
+      dout.astype(jnp.float32))
+
+
+def _pallas_edge_bwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, dout):
+    B, L, K, H = E.shape
+    TL = _bwd_tile(L, K, H)
+    dt = E.dtype
+    sel, sel_spec, has_oh = _sel_operand(idx, onehot, dt, TL)
+    d_specs, d_shapes = _bwd_data_outs(B, L, K, H, TL, dt)
+    w_specs, w_shapes = _bwd_weight_outs(H)
+    return pl.pallas_call(
+        functools.partial(_edge_bwd_kernel, has_oh=has_oh),
+        grid=(B, L // TL),
+        in_specs=([sel_spec] + _common_specs(TL, K, H, L)
+                  + _weight_specs(H)[:3]
+                  + [pl.BlockSpec((H, H), lambda b, i: (0, 0)),
+                     pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0))]),
+        out_specs=d_specs + w_specs,
+        out_shape=d_shapes + w_shapes,
+        cost_estimate=_chain_cost(B, L, K, H, TL),
+    )(sel, A.astype(dt), E, Gn.astype(dt),
+      W_e.astype(dt), W2.astype(dt), b2, W3.astype(dt), dout)
+
+
+def _pallas_edge_lnmod_bwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3,
+                           sc, g, dout):
+    B, L, K, H = E.shape
+    TL = _bwd_tile(L, K, H)
+    dt = E.dtype
+    sel, sel_spec, has_oh = _sel_operand(idx, onehot, dt, TL)
+    d_specs, d_shapes = _bwd_data_outs(B, L, K, H, TL, dt)
+    w_specs, w_shapes = _bwd_weight_outs(H)
+    mod_spec = pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0))
+    mod_shape = jax.ShapeDtypeStruct((B, 1, H), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_edge_lnmod_bwd_kernel, has_oh=has_oh),
+        grid=(B, L // TL),
+        in_specs=([sel_spec] + _common_specs(TL, K, H, L)
+                  + _weight_specs(H)
+                  + [mod_spec, mod_spec,
+                     pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0))]),
+        out_specs=d_specs + w_specs + [mod_spec, mod_spec, mod_spec],
+        out_shape=d_shapes + w_shapes + [mod_shape, mod_shape, mod_shape],
+        cost_estimate=_chain_cost(B, L, K, H, TL,
+                                  epilogue_elems=B * L * K * H),
+    )(sel, A.astype(dt), E, Gn.astype(dt),
+      W_e.astype(dt), W2.astype(dt), b2, W3.astype(dt), b3,
+      sc.astype(dt)[:, None, :], g.astype(dt)[:, None, :],
+      dout)
+
+
+# ---------------------------------------------------------------------------
+# public API with custom vjp
+
+
+def _cast_like(g, x):
+    return None if g is None else g.astype(x.dtype)
+
+
+@jax.custom_vjp
+def fused_message_sum(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3,
+                      scale):
+    """Masked, K-summed message chain -> [B, L, H] (f32).
+
+    idx [B, L, K] int32 neighbor indices; onehot [B, L*K, L] (or None) is
+    the precomputed selection matrix — fastest when provided (its DMA
+    overlaps the MXU); without it the kernels iota-build it in VMEM."""
+    if _use_pallas():
+        return _pallas_message_sum(A, E, Gn, idx, onehot, mask, W_e, W2,
+                                   b2, W3, b3, scale)
+    return _ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale)
+
+
+def _sum_fwd(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale):
+    out = fused_message_sum(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3,
+                            b3, scale)
+    return out, (A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale)
+
+
+def _sum_bwd(res, g):
+    A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale = res
+    gs = g / scale
+    if _use_pallas():
+        dA, dE, dGn, dWe, dW2, db2, dW3, db3 = _pallas_sum_bwd(
+            A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, gs)
+        return (_cast_like(dA, A), _cast_like(dE, E), _cast_like(dGn, Gn),
+                None, None, None, _cast_like(dWe, W_e), _cast_like(dW2, W2),
+                _cast_like(db2[0], b2), _cast_like(dW3, W3),
+                _cast_like(db3[0], b3), None)
+    _, vjp = jax.vjp(
+        lambda A, E, Gn, W_e, W2, b2, W3, b3: _ref_message_sum(
+            A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, 1.0),
+        A, E, Gn, W_e, W2, b2, W3, b3)
+    dA, dE, dGn, dWe, dW2, db2, dW3, db3 = vjp(gs)
+    return (_cast_like(dA, A), _cast_like(dE, E), _cast_like(dGn, Gn),
+            None, None, None, _cast_like(dWe, W_e), _cast_like(dW2, W2),
+            _cast_like(db2, b2), _cast_like(dW3, W3),
+            _cast_like(db3, b3), None)
+
+
+fused_message_sum.defvjp(_sum_fwd, _sum_bwd)
+
+
+@jax.custom_vjp
+def fused_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
+    """Unsummed message chain -> [B, L, K, H] (input dtype)."""
+    if _use_pallas():
+        return _pallas_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2,
+                                    W3, b3)
+    return _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3).astype(E.dtype)
+
+
+def _edge_fwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
+    out = fused_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3)
+    return out, (A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3)
+
+
+def _edge_bwd(res, g):
+    A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3 = res
+    if _use_pallas():
+        dA, dE, dGn, dWe, dW2, db2, dW3, db3 = _pallas_edge_bwd(
+            A, E, Gn, idx, onehot, W_e, W2, b2, W3, g)
+        return (_cast_like(dA, A), _cast_like(dE, E), _cast_like(dGn, Gn),
+                None, None, _cast_like(dWe, W_e), _cast_like(dW2, W2),
+                _cast_like(db2[0], b2), _cast_like(dW3, W3),
+                _cast_like(db3[0], b3))
+    _, vjp = jax.vjp(
+        lambda A, E, Gn, W_e, W2, b2, W3, b3: _ref_message(
+            A, E, Gn, idx, W_e, W2, b2, W3, b3).astype(E.dtype),
+        A, E, Gn, W_e, W2, b2, W3, b3)
+    dA, dE, dGn, dWe, dW2, db2, dW3, db3 = vjp(g)
+    return dA, dE, dGn, None, None, dWe, dW2, db2, dW3, db3
+
+
+fused_message_edge.defvjp(_edge_fwd, _edge_bwd)
 
 
 @jax.custom_vjp
@@ -334,29 +726,42 @@ def fused_message_edge_lnmod(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3,
                              sh, sc, g):
     """Edge chain + residual + LayerNorm + adaLN modulate/gate in one pass
     -> the encoder layer's updated h_E [B, L, K, H]."""
-    if _use_pallas() and onehot is not None:
-        return _pallas_message_edge_lnmod(A, E, Gn, onehot, W_e, W2, b2,
-                                          W3, b3, sh, sc, g)
+    if _use_pallas():
+        return _pallas_message_edge_lnmod(A, E, Gn, idx, onehot, W_e, W2,
+                                          b2, W3, b3, sh, sc, g)
     return _ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
-                                   sh, sc, g, onehot)
+                                   sh, sc, g)
 
 
 def _edge_lnmod_fwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g):
-    out = fused_message_edge_lnmod(A, E, Gn, idx, onehot, W_e, W2, b2,
-                                   W3, b3, sh, sc, g)
+    out = fused_message_edge_lnmod(A, E, Gn, idx, onehot, W_e, W2, b2, W3,
+                                   b3, sh, sc, g)
     return out, (A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g)
 
 
 def _edge_lnmod_bwd(res, ct):
     A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g = res
+    if _use_pallas():
+        (dA, dE, dGn, dWe, dW2, db2, dW3, db3, dsh, dsc, dg) = \
+            _pallas_edge_lnmod_bwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3,
+                                   b3, sc, g, ct)
+        # dgate from the kernel lacks the dct*sh term (sh is not shipped
+        # into VMEM); sum_n dct*sh = sh * sum_n dct — one cheap XLA
+        # reduction over the cotangent.
+        dct_sum = ct.astype(jnp.float32).sum(axis=(1, 2))
+        dg_full = dg[:, 0, :] + dct_sum * sh.astype(jnp.float32)
+        return (_cast_like(dA, A), _cast_like(dE, E), _cast_like(dGn, Gn),
+                None, None, _cast_like(dWe, W_e), _cast_like(dW2, W2),
+                _cast_like(db2[0], b2), _cast_like(dW3, W3),
+                _cast_like(db3[0], b3), _cast_like(dsh[:, 0, :], sh),
+                _cast_like(dsc[:, 0, :], sc), _cast_like(dg_full, g))
     _, vjp = jax.vjp(
         lambda A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g:
         _ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
-                                sh, sc, g, onehot),
+                                sh, sc, g),
         A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g)
-    dA, dE, dGn, dW_e, dW2, db2, dW3, db3, dsh, dsc, dg = vjp(ct)
-    return (dA, dE, dGn, None, None, dW_e, dW2, db2, dW3, db3,
-            dsh, dsc, dg)
+    dA, dE, dGn, dWe, dW2, db2, dW3, db3, dsh, dsc, dg = vjp(ct)
+    return (dA, dE, dGn, None, None, dWe, dW2, db2, dW3, db3, dsh, dsc, dg)
 
 
 fused_message_edge_lnmod.defvjp(_edge_lnmod_fwd, _edge_lnmod_bwd)

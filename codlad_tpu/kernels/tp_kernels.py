@@ -1,0 +1,242 @@
+"""Pallas VMEM kernel for the fused big-lane tensor product (Stage 1).
+
+The XLA tier of the TP reformulation (nn/tensor_product.fused_tp_tables)
+materializes three [E, ~700]-wide intermediates in HBM per conv — the
+flattened outer product t, the coupling product TR, and the expanded
+weights wR — ~6x more HBM traffic than the irreducible inputs/outputs.
+At Stage-1 edge counts (~400k directed edges per batch) that's ~3 GB per
+conv per pass; this kernel streams each edge tile through VMEM once:
+
+    TR  = sum_b  (x * sh[:, b]) @ C_b        (dsh small matmuls, MXU)
+    wR  = w @ EXPW                            (column-duplication matmul)
+    out = (wR * TR) @ SUMR                    (one matmul)
+
+(The t concat never exists: the b-loop contracts each dsh slice directly,
+which also sidesteps Mosaic's no-minor-dim-merge reshape rule.)
+
+The backward is the same tile program run in reverse — dx, dsh, dw are
+all per-edge, so no cross-tile accumulation is needed:
+
+    dprod = dct @ SUMR^T;  dTR = dprod * wR;  dwR = dprod * TR
+    dw  = dwR @ EXPW^T
+    Db  = dTR @ C_b^T;   dx += sh_b * Db;   dsh_b = rowsum(x * Db)
+
+Tables (CBIG_R split per dsh slice, EXPW, SUMR) are static per irreps
+signature and ride as replicated operands resident in VMEM across the
+grid.  Off-TPU the XLA formulation runs unchanged (it IS the reference
+twin).  Reference being accelerated: models/gcn_nn.py:181-219
+(e3nn FullyConnectedTensorProduct inside TensorProductConvLayer).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pltpu only exists with TPU support compiled in
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+_TILE_E = 512
+
+
+def _use_pallas():
+    try:
+        return jax.default_backend() in ("tpu", "axon") and pltpu is not None
+    except Exception:  # pragma: no cover
+        return False
+
+
+# ---------------------------------------------------------------------------
+# reference twin (the XLA big-lane formulation; also the CPU fallback)
+
+
+def ref_fused_tp(x, sh, w, cbig_r, expw, sumr):
+    """x [B,E,din], sh [B,E,dsh], w [B,E,numel] -> [B,E,dout]."""
+    dsh = sh.shape[-1]
+    hi = jax.lax.Precision.HIGH
+    t = jnp.concatenate([x * sh[..., b:b + 1] for b in range(dsh)], axis=-1)
+    TR = jnp.dot(t, cbig_r, precision=hi,
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+    wR = jnp.dot(w, expw, precision=hi,
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.dot(wR * TR, sumr, precision=hi,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+
+
+def _tp_fwd_kernel(x_ref, sh_ref, w_ref, cbig_ref, expw_ref, sumr_ref,
+                   out_ref, *, dsh, din):
+    f32 = jnp.float32
+    x = x_ref[0]                    # [TE, din]
+    w = w_ref[0]                    # [TE, numel]
+    TR = None
+    for b in range(dsh):
+        xb = x * sh_ref[0][:, b][:, None]
+        c_b = cbig_ref[pl.ds(b * din, din), :]
+        part = jnp.dot(xb, c_b, preferred_element_type=f32)
+        TR = part if TR is None else TR + part
+    wR = jnp.dot(w, expw_ref[...], preferred_element_type=f32)
+    prod = (wR * TR).astype(x.dtype)
+    out_ref[0] = jnp.dot(prod, sumr_ref[...],
+                         preferred_element_type=f32).astype(out_ref.dtype)
+
+
+def _tp_bwd_kernel(x_ref, sh_ref, w_ref, cbig_ref, expw_ref, sumr_ref,
+                   dct_ref, dx_ref, dsh_ref, dw_ref, *, dsh, din):
+    f32 = jnp.float32
+    dt = x_ref.dtype
+    x = x_ref[0]
+    w = w_ref[0]
+    # recompute TR and wR (VMEM-resident, never in HBM)
+    TR = None
+    for b in range(dsh):
+        xb = x * sh_ref[0][:, b][:, None]
+        c_b = cbig_ref[pl.ds(b * din, din), :]
+        part = jnp.dot(xb, c_b, preferred_element_type=f32)
+        TR = part if TR is None else TR + part
+    wR = jnp.dot(w, expw_ref[...], preferred_element_type=f32)
+
+    dct = dct_ref[0]                                    # [TE, dout]
+    dprod = jax.lax.dot_general(dct.astype(dt), sumr_ref[...],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)   # [TE, R]
+    dTR = dprod * wR
+    dwR = dprod * TR
+    dw_ref[0] = jax.lax.dot_general(dwR.astype(dt), expw_ref[...],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32
+                                    ).astype(dw_ref.dtype)
+    dx = None
+    dsh_cols = []
+    dTR_dt = dTR.astype(dt)
+    for b in range(dsh):
+        c_b = cbig_ref[pl.ds(b * din, din), :]
+        Db = jax.lax.dot_general(dTR_dt, c_b, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32)  # [TE, din]
+        sh_b = sh_ref[0][:, b][:, None]
+        contrib = sh_b.astype(f32) * Db
+        dx = contrib if dx is None else dx + contrib
+        dsh_cols.append((x.astype(f32) * Db).sum(axis=1, keepdims=True))
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dsh_ref[0] = jnp.concatenate(dsh_cols, axis=1).astype(dsh_ref.dtype)
+
+
+def _pad_e(arrs, E, tile):
+    pad = (-E) % tile
+    if pad == 0:
+        return arrs, E
+    return [jnp.pad(a, ((0, 0), (0, pad), (0, 0))) for a in arrs], E + pad
+
+
+def _tp_cost(B, EP, din, dsh, numel, R, dout):
+    flops = 2 * B * EP * (dsh * din * R + numel * R + R * dout)
+    bytes_acc = B * EP * (din + dsh + numel + dout) * 2
+    return pl.CostEstimate(flops=int(flops), bytes_accessed=int(bytes_acc),
+                           transcendentals=0)
+
+
+def _pallas_fused_tp(x, sh, w, cbig_r, expw, sumr):
+    B, E, din = x.shape
+    dsh = sh.shape[-1]
+    numel = w.shape[-1]
+    R = cbig_r.shape[-1]
+    dout = sumr.shape[-1]
+    dt = x.dtype
+    (x, sh, w), EP = _pad_e([x, sh, w], E, _TILE_E)
+    grid = (B, EP // _TILE_E)
+
+    out = pl.pallas_call(
+        functools.partial(_tp_fwd_kernel, dsh=dsh, din=din),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _TILE_E, din), lambda b, e: (b, e, 0)),
+            pl.BlockSpec((1, _TILE_E, dsh), lambda b, e: (b, e, 0)),
+            pl.BlockSpec((1, _TILE_E, numel), lambda b, e: (b, e, 0)),
+            pl.BlockSpec((dsh * din, R), lambda b, e: (0, 0)),
+            pl.BlockSpec((numel, R), lambda b, e: (0, 0)),
+            pl.BlockSpec((R, dout), lambda b, e: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _TILE_E, dout), lambda b, e: (b, e, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, EP, dout), dt),
+        cost_estimate=_tp_cost(B, EP, din, dsh, numel, R, dout),
+    )(x, sh.astype(dt), w.astype(dt), cbig_r.astype(dt), expw.astype(dt),
+      sumr.astype(dt))
+    return out[:, :E]
+
+
+def _pallas_fused_tp_bwd(x, sh, w, cbig_r, expw, sumr, dct):
+    B, E, din = x.shape
+    dsh = sh.shape[-1]
+    numel = w.shape[-1]
+    R = cbig_r.shape[-1]
+    dout = sumr.shape[-1]
+    dt = x.dtype
+    (x, sh, w, dct), EP = _pad_e([x, sh, w, dct], E, _TILE_E)
+    grid = (B, EP // _TILE_E)
+
+    dx, dsh_out, dw = pl.pallas_call(
+        functools.partial(_tp_bwd_kernel, dsh=dsh, din=din),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _TILE_E, din), lambda b, e: (b, e, 0)),
+            pl.BlockSpec((1, _TILE_E, dsh), lambda b, e: (b, e, 0)),
+            pl.BlockSpec((1, _TILE_E, numel), lambda b, e: (b, e, 0)),
+            pl.BlockSpec((dsh * din, R), lambda b, e: (0, 0)),
+            pl.BlockSpec((numel, R), lambda b, e: (0, 0)),
+            pl.BlockSpec((R, dout), lambda b, e: (0, 0)),
+            pl.BlockSpec((1, _TILE_E, dout), lambda b, e: (b, e, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _TILE_E, din), lambda b, e: (b, e, 0)),
+            pl.BlockSpec((1, _TILE_E, dsh), lambda b, e: (b, e, 0)),
+            pl.BlockSpec((1, _TILE_E, numel), lambda b, e: (b, e, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, EP, din), dt),
+                   jax.ShapeDtypeStruct((B, EP, dsh), dt),
+                   jax.ShapeDtypeStruct((B, EP, numel), dt)],
+        cost_estimate=_tp_cost(B, EP, din, dsh, numel, R, dout),
+    )(x, sh.astype(dt), w.astype(dt), cbig_r.astype(dt), expw.astype(dt),
+      sumr.astype(dt), dct.astype(dt))
+    return dx[:, :E], dsh_out[:, :E], dw[:, :E]
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+@jax.custom_vjp
+def fused_tp(x, sh, w, cbig_r, expw, sumr):
+    """Edge-batched fused tensor product: x (din) ⊗ sh (dsh) -> dout with
+    per-edge weights w; tables from nn.tensor_product.fused_tp_tables."""
+    if _use_pallas() and x.ndim == 3:
+        return _pallas_fused_tp(x, sh, w, cbig_r, expw, sumr)
+    return ref_fused_tp(x, sh, w, cbig_r, expw, sumr)
+
+
+def _fused_tp_fwd(x, sh, w, cbig_r, expw, sumr):
+    out = fused_tp(x, sh, w, cbig_r, expw, sumr)
+    return out, (x, sh, w, cbig_r, expw, sumr)
+
+
+def _fused_tp_bwd(res, ct):
+    x, sh, w, cbig_r, expw, sumr = res
+    if _use_pallas() and x.ndim == 3:
+        dx, dsh, dw = _pallas_fused_tp_bwd(x, sh, w, cbig_r, expw, sumr, ct)
+        return (dx.astype(x.dtype), dsh.astype(sh.dtype), dw.astype(w.dtype),
+                None, None, None)
+    _, vjp = jax.vjp(lambda x, sh, w: ref_fused_tp(x, sh, w, cbig_r, expw,
+                                                   sumr), x, sh, w)
+    dx, dsh, dw = vjp(ct)
+    return dx, dsh, dw, None, None, None
+
+
+fused_tp.defvjp(_fused_tp_fwd, _fused_tp_bwd)

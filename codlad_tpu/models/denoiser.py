@@ -94,6 +94,11 @@ class MPNNDenoiser(nn.Module):
         h_S = self.w_s(res_type)
         mask_attend = gather_nodes(maskf[..., None], E_idx)[..., 0]
         mask_attend = maskf[..., None] * mask_attend
+        # 'auto': a [B, L*K, L] one-hot is materialized for L <= 256 and
+        # fed to the fused chains as an HBM operand — device traces show
+        # its per-tile DMA overlaps the MXU (free), while iota-building it
+        # in VMEM put ~0.4 ms/chain of int32 compare work on the serial
+        # VPU path.  Beyond L=256 the chains iota-build in VMEM instead.
         nbr = make_neighbor_gather(E_idx, mode=self.gather_mode)
         return {"nbr": nbr, "h_E0": h_E0, "h_S": h_S, "maskf": maskf,
                 "mask_attend": mask_attend}
@@ -152,11 +157,13 @@ class MPNNDenoiser(nn.Module):
                 h_V = layer(h_V, nbr, edge_pre, s_edge, v_edge, maskf, c=c,
                             deterministic=deterministic)
         else:
-            edge_pre = 2.0 * h_E
+            # the decoder's 2*h_E edge block is folded into W_e inside the
+            # chain (edge_scale) — no scaled [B, L, K, H] copy in HBM
             s_node = s_scale * h_S
             for layer in self.dec_layers:
-                h_V = layer(h_V, nbr, edge_pre, s_node, h_V + h_V_enc,
-                            maskf, c=c, deterministic=deterministic)
+                h_V = layer(h_V, nbr, h_E, s_node, h_V + h_V_enc,
+                            maskf, c=c, deterministic=deterministic,
+                            edge_scale=2.0)
 
         if self.final_adln:
             return self.w_out(h_V, c)
@@ -186,12 +193,15 @@ class MPNNDenoiser(nn.Module):
         pass through from the conditioned half.  The reference declares this
         entry point but never defines it for the MPNN backbone (test.py:525
         calls a method absent from latent_model.py) — here it WORKS: the
-        unconditional half uses residue-type id 0 everywhere (unknown
-        sequence), since conditioning is structural.
+        unconditional half uses the NULL residue token (vocab-1), the id
+        `--class_dropout_prob` trains as the unconditional-sequence
+        surrogate (train/steps.apply_class_dropout); structural (CG-trace)
+        conditioning is kept, matching what the null token saw at train
+        time.
         """
         B = x.shape[0]
         half = B // 2
-        uncond_res = jnp.zeros_like(res_type)
+        uncond_res = jnp.full_like(res_type, self.vocab - 1)
         res_type = jnp.concatenate([res_type[:half], uncond_res[half:]], axis=0)
         cond = self.compute_condition(res_type, cg_xyz, mask)
         out = self.denoise(x, t, cond, deterministic=deterministic)

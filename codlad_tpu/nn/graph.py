@@ -136,19 +136,28 @@ def make_edge_ops(edges, mask, n_nodes, dtype=jnp.bfloat16,
                   dense_limit_bytes=3 * 2**30, prefer_pallas=False):
     """edges [B, E, 2] int, mask [B, E] bool; n_nodes per sample.
 
-    prefer_pallas opts into the VMEM-tiled kernels; profiling on v5e
-    showed the one-hot ops are NOT the Stage-1 bottleneck (1.6 ms of a
-    199 ms step — the per-edge tensor-product fusions are, see
-    kernels/tp_kernels.py), and the Pallas gather lowering is currently
-    slower than the dense contraction, so the dense path stays default."""
+    Dispatch, fastest-first for the graph size (v5e profiling):
+      * dense one-hot contractions while the [B, E, N] selection matrices
+        fit the memory budget — the one-hot ops are NOT the Stage-1
+        bottleneck at PED scale (1.6 ms of a 199 ms step) and their dense
+        lowering beats the Pallas gather kernels there;
+      * ABOVE the budget, the VMEM-tiled Pallas kernels (one-hot rebuilt
+        per tile, zero HBM selection matrices) — the round-2 fallback was
+        gather/segment ops, whose serial XLA lowering cost ~13 ms PER
+        GATHER (~15x the whole dense path) once a batch fell off the
+        dense cliff;
+      * gather/segment only off-TPU.
+    prefer_pallas forces the Pallas kernels regardless of size."""
     B, E, _ = edges.shape
     maskf = mask.astype(jnp.float32)
-    if prefer_pallas and _pallas_available():
+    bytes_needed = 2 * B * E * n_nodes * jnp.dtype(dtype).itemsize
+    use_pallas = _pallas_available() and (prefer_pallas
+                                          or bytes_needed > dense_limit_bytes)
+    if use_pallas:
         from codlad_tpu.kernels.edge_kernels import edge_aggregate
         ones = jnp.ones((B, E, 1), jnp.float32)
         deg = edge_aggregate(edges[..., 0], maskf, ones, n_nodes)[..., 0]
         return PallasEdgeOps(edges=edges, mask=maskf, n_nodes=n_nodes, deg=deg)
-    bytes_needed = 2 * B * E * n_nodes * jnp.dtype(dtype).itemsize
     if bytes_needed <= dense_limit_bytes:
         m = maskf.astype(dtype)[..., None]
         src_oh = jax.nn.one_hot(edges[..., 0], n_nodes, dtype=dtype) * m

@@ -39,6 +39,11 @@ def make_neighbor_gather(E_idx, mode="auto", dtype=jnp.bfloat16):
     L <= 256 — measured on v5e, the one-hot and dynamic-gather paths break
     even around L=512 and the selection matrices stop paying for
     themselves.
+
+    mode='idx' skips the one-hot entirely — the right choice for operands
+    consumed only by the fused Pallas chains, which build their selection
+    matrices on the fly in VMEM (kernels/mpnn_kernels.py) and never want
+    the [B, L*K, L] tensor in HBM.
     """
     B, L, K = E_idx.shape
     nbr = {"idx": E_idx}
@@ -247,6 +252,7 @@ class SplitMessageChain(nn.Module):
     num_hidden: int
     reduce_sum: bool = False
     scale: float = 30.0
+    edge_scale: float = 1.0
 
     @nn.compact
     def __call__(self, h_self, edge_pre, nbr_node_pre, nbr, mask_attend=None,
@@ -256,7 +262,11 @@ class SplitMessageChain(nn.Module):
 
         ln_mod=(sh, sc, g): fuse the encoder's h_E epilogue
         g * modulate(LN(edge_pre + msg), sh, sc) into the kernel (saves two
-        [B, L, K, H] HBM round trips per layer; reduce_sum=False only)."""
+        [B, L, K, H] HBM round trips per layer; reduce_sum=False only).
+
+        edge_scale: static scalar folded into W_e — callers whose edge
+        input is c*h_E pass h_E and edge_scale=c instead of materializing
+        a scaled [B, L, K, H] copy in HBM (W_e is linear)."""
         H = self.num_hidden
         A = nn.Dense(H)(h_self)
         Gn = nn.Dense(H, use_bias=False)(nbr_node_pre)
@@ -266,6 +276,8 @@ class SplitMessageChain(nn.Module):
         b2 = self.param("b2", nn.initializers.zeros, (H,))
         W3 = self.param("W3", init, (H, H))
         b3 = self.param("b3", nn.initializers.zeros, (H,))
+        if self.edge_scale != 1.0:
+            W_e = W_e * self.edge_scale
         idx = nbr["idx"]
         onehot = nbr.get("onehot")
         if self.reduce_sum:
@@ -364,7 +376,8 @@ class DecLayerDiffusion(nn.Module):
 
     @nn.compact
     def __call__(self, h_V, nbr, edge_pre, s_node, v_node, mask_V=None,
-                 mask_attend=None, c=None, deterministic=True):
+                 mask_attend=None, c=None, deterministic=True,
+                 edge_scale=1.0):
         mods = nn.Dense(6 * self.num_hidden, kernel_init=nn.initializers.zeros,
                         bias_init=nn.initializers.zeros)(jax.nn.silu(c))
         sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mods, 6, axis=-1)
@@ -381,7 +394,8 @@ class DecLayerDiffusion(nn.Module):
         if s_node.ndim == 3 and v_node.ndim == 3:
             # production path: node blocks concatenated -> one Dense inside
             # the fused chain (equals the sum of per-block Denses)
-            dh = SplitMessageChain(H, reduce_sum=True, scale=self.scale)(
+            dh = SplitMessageChain(H, reduce_sum=True, scale=self.scale,
+                                   edge_scale=edge_scale)(
                 h_V, edge_pre, jnp.concatenate([s_node, v_node], axis=-1),
                 nbr, mask_attend=mask_attend)
         else:

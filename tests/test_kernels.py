@@ -1,4 +1,13 @@
-"""Pallas kernel tests (interpret mode on CPU) vs reference implementations."""
+"""Pallas kernel tests (interpret mode on CPU) vs reference implementations.
+
+Covers forwards AND the fused Pallas backwards: `_force_pallas` patches both
+the backend check and pallas_call so the real kernels (including the
+backward kernels) run interpreted on CPU, and gradients are compared against
+JAX autodiff of the pure-JAX twins.
+"""
+
+import contextlib
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +33,20 @@ def _inputs(B=2, L=16, K=8, H=128, seed=0, dtype=jnp.float32):
     return A, E, Gn, idx, mask, W_e, W2, b2, W3, b3
 
 
+@contextlib.contextmanager
+def _force_pallas():
+    """Run the real Pallas kernels (fwd + bwd) interpreted on CPU."""
+    orig_call = pl.pallas_call
+    orig_use = MK._use_pallas
+    MK.pl.pallas_call = functools.partial(orig_call, interpret=True)
+    MK._use_pallas = lambda: True
+    try:
+        yield
+    finally:
+        MK.pl.pallas_call = orig_call
+        MK._use_pallas = orig_use
+
+
 def test_reference_message_matches_composed_ops():
     A, E, Gn, idx, mask, W_e, W2, b2, W3, b3 = _inputs()
     out = MK._ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, 30.0)
@@ -36,48 +59,39 @@ def test_reference_message_matches_composed_ops():
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
 
 
-def _run_pallas_interpret(kernel_fn, ref_fn):
-    """Run the pallas path in interpreter mode and compare to reference."""
-    import functools
-    orig = pl.pallas_call
-    try:
-        MK.pl.pallas_call = functools.partial(orig, interpret=True)
-        got = kernel_fn()
-    finally:
-        MK.pl.pallas_call = orig
-    want = ref_fn()
-    np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
-                               np.asarray(want, dtype=np.float32),
-                               atol=2e-4, rtol=2e-4)
-
-
 def _onehot(idx, L):
     B = idx.shape[0]
     return jax.nn.one_hot(idx.reshape(B, -1), L, dtype=jnp.float32)
 
 
-def test_pallas_sum_kernel_interpret():
+@pytest.mark.parametrize("sel", ["onehot", "iota"])
+def test_pallas_sum_kernel_interpret(sel):
     A, E, Gn, idx, mask, W_e, W2, b2, W3, b3 = _inputs()
-    oh = _onehot(idx, E.shape[1])
-    _run_pallas_interpret(
-        lambda: MK._pallas_message_sum(A, E, Gn, oh, mask, W_e, W2, b2, W3, b3, 30.0),
-        lambda: MK._ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, 30.0))
+    oh = _onehot(idx, E.shape[1]) if sel == "onehot" else None
+    with _force_pallas():
+        got = MK._pallas_message_sum(A, E, Gn, idx, oh, mask, W_e, W2, b2, W3, b3, 30.0)
+    want = MK._ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, 30.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
 
 
-def test_pallas_edge_kernel_interpret():
+@pytest.mark.parametrize("sel", ["onehot", "iota"])
+def test_pallas_edge_kernel_interpret(sel):
     A, E, Gn, idx, mask, W_e, W2, b2, W3, b3 = _inputs()
-    oh = _onehot(idx, E.shape[1])
-    _run_pallas_interpret(
-        lambda: MK._pallas_message_edge(A, E, Gn, oh, W_e, W2, b2, W3, b3),
-        lambda: MK._ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3))
+    oh = _onehot(idx, E.shape[1]) if sel == "onehot" else None
+    with _force_pallas():
+        got = MK._pallas_message_edge(A, E, Gn, idx, oh, W_e, W2, b2, W3, b3)
+    want = MK._ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
 
 
-def test_fused_message_sum_gradients():
+def test_fused_message_sum_gradients_fallback():
+    """custom_vjp fallback (non-TPU path) == autodiff of the twin."""
     A, E, Gn, idx, mask, W_e, W2, b2, W3, b3 = _inputs(B=1, L=8, K=4)
-    oh = _onehot(idx, E.shape[1])
 
     def loss_fused(A, E, Gn, W2):
-        return MK.fused_message_sum(A, E, Gn, idx, oh, mask, W_e, W2, b2, W3, b3, 30.0).sum()
+        return MK.fused_message_sum(A, E, Gn, idx, None, mask, W_e, W2, b2, W3, b3, 30.0).sum()
 
     def loss_ref(A, E, Gn, W2):
         return MK._ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, 30.0).sum()
@@ -88,18 +102,94 @@ def test_fused_message_sum_gradients():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.parametrize("sel", ["onehot", "iota"])
+def test_pallas_sum_backward_kernel(sel):
+    """The fused Pallas backward (VMEM recompute) == autodiff of the twin,
+    for every differentiable input including weights and biases."""
+    A, E, Gn, idx, mask, W_e, W2, b2, W3, b3 = _inputs(B=2, L=8, K=4, seed=3)
+    oh = _onehot(idx, E.shape[1]) if sel == "onehot" else None
+
+    def loss(args):
+        A, E, Gn, W_e, W2, b2, W3, b3 = args
+        out = MK.fused_message_sum(A, E, Gn, idx, oh, mask, W_e, W2, b2, W3, b3, 30.0)
+        return (out * jnp.cos(jnp.arange(out.size).reshape(out.shape))).sum()
+
+    def loss_ref(args):
+        A, E, Gn, W_e, W2, b2, W3, b3 = args
+        out = MK._ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, 30.0)
+        return (out * jnp.cos(jnp.arange(out.size).reshape(out.shape))).sum()
+
+    args = (A, E, Gn, W_e, W2, b2, W3, b3)
+    with _force_pallas():
+        got = jax.grad(loss)(args)
+    want = jax.grad(loss_ref)(args)
+    for name, a, b in zip("A E Gn W_e W2 b2 W3 b3".split(), got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4, err_msg=name)
+
+
+def test_pallas_edge_backward_kernel():
+    A, E, Gn, idx, mask, W_e, W2, b2, W3, b3 = _inputs(B=2, L=8, K=4, seed=4)
+
+    def loss(fused):
+        def f(args):
+            A, E, Gn, W_e, W2, b2, W3, b3 = args
+            if fused:
+                out = MK.fused_message_edge(A, E, Gn, idx, None, W_e, W2, b2, W3, b3)
+            else:
+                out = MK._ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3).astype(E.dtype)
+            return (out * jnp.sin(0.1 * jnp.arange(out.size).reshape(out.shape))).sum()
+        return f
+
+    args = (A, E, Gn, W_e, W2, b2, W3, b3)
+    with _force_pallas():
+        got = jax.grad(loss(True))(args)
+    want = jax.grad(loss(False))(args)
+    for name, a, b in zip("A E Gn W_e W2 b2 W3 b3".split(), got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4, err_msg=name)
+
+
+def test_pallas_edge_lnmod_backward_kernel():
+    A, E, Gn, idx, mask, W_e, W2, b2, W3, b3 = _inputs(B=2, L=8, K=4, seed=5)
+    rng = np.random.default_rng(9)
+    B, H = A.shape[0], A.shape[-1]
+    sh = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1)
+    sc = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+
+    def loss(fused):
+        def f(args):
+            A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g = args
+            fn = (MK.fused_message_edge_lnmod if fused
+                  else functools.partial(MK._ref_message_edge_lnmod))
+            if fused:
+                out = MK.fused_message_edge_lnmod(A, E, Gn, idx, None, W_e, W2, b2, W3, b3, sh, sc, g)
+            else:
+                out = MK._ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3, sh, sc, g)
+            w = jnp.cos(0.05 * jnp.arange(out.size).reshape(out.shape))
+            return (out * w).sum()
+        return f
+
+    args = (A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g)
+    with _force_pallas():
+        got = jax.grad(loss(True))(args)
+    want = jax.grad(loss(False))(args)
+    names = "A E Gn W_e W2 b2 W3 b3 sh sc g".split()
+    for name, a, b in zip(names, got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3, err_msg=name)
+
+
 def test_edge_lnmod_kernel_interpret_matches_reference():
     """Fused edge-chain + LayerNorm + adaLN epilogue kernel == reference
     twin (interpret mode)."""
-    from codlad_tpu.kernels import mpnn_kernels as MK
-
     rng = np.random.default_rng(0)
     B, L, K, H = 2, 16, 4, 128
     A = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32))
     E = jnp.asarray(rng.normal(size=(B, L, K, H)).astype(np.float32))
     Gn = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32))
     idx = jnp.asarray(rng.integers(0, L, (B, L, K)).astype(np.int32))
-    onehot = jax.nn.one_hot(idx.reshape(B, L * K), L, dtype=jnp.float32)
     W_e = jnp.asarray(rng.normal(size=(H, H)).astype(np.float32) * 0.05)
     W2 = jnp.asarray(rng.normal(size=(H, H)).astype(np.float32) * 0.05)
     W3 = jnp.asarray(rng.normal(size=(H, H)).astype(np.float32) * 0.05)
@@ -110,21 +200,11 @@ def test_edge_lnmod_kernel_interpret_matches_reference():
     g = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
 
     ref = MK._ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
-                                     sh, sc, g, onehot)
-
-    import jax.experimental.pallas as pl_mod
-    real_call = pl_mod.pallas_call
-
-    def interp_call(*a, **k):
-        k.setdefault("interpret", True)
-        return real_call(*a, **k)
-
-    MK.pl.pallas_call = interp_call
-    try:
-        out = MK._pallas_message_edge_lnmod(A, E, Gn, onehot, W_e, W2, b2,
+                                     sh, sc, g)
+    oh = _onehot(idx, L)
+    with _force_pallas():
+        out = MK._pallas_message_edge_lnmod(A, E, Gn, idx, oh, W_e, W2, b2,
                                             W3, b3, sh, sc, g)
-    finally:
-        MK.pl.pallas_call = real_call
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-3, rtol=2e-3)
 
@@ -157,3 +237,99 @@ def test_enc_layer_fused_epilogue_equivalent():
                           rngs={"dropout": jax.random.PRNGKey(1)})
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
+
+
+def test_dec_layer_edge_scale_fold_equivalent():
+    """edge_scale=c on h_E == passing c*h_E explicitly (W_e linearity)."""
+    from codlad_tpu.nn.mpnn import DecLayerDiffusion, make_neighbor_gather
+
+    rng = np.random.default_rng(2)
+    B, L, K, H = 2, 8, 4, 16
+    h_V = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32))
+    h_E = jnp.asarray(rng.normal(size=(B, L, K, H)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32))
+    nbr = make_neighbor_gather(
+        jnp.asarray(rng.integers(0, L, (B, L, K)).astype(np.int32)))
+    c = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+
+    layer = DecLayerDiffusion(H, H * 3, dropout=0.0)
+    params = layer.init(jax.random.PRNGKey(0), h_V, nbr, h_E, s, v, c=c)
+    params = jax.tree.map(lambda p: p + 0.05 * np.float32(1.0), params)
+    out1 = layer.apply(params, h_V, nbr, 2.0 * h_E, s, v, c=c)
+    out2 = layer.apply(params, h_V, nbr, h_E, s, v, c=c, edge_scale=2.0)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def _force_tp_pallas():
+    import contextlib
+
+    from codlad_tpu.kernels import tp_kernels as TK
+
+    @contextlib.contextmanager
+    def ctx():
+        orig_call = pl.pallas_call
+        orig_use = TK._use_pallas
+        TK.pl.pallas_call = functools.partial(orig_call, interpret=True)
+        TK._use_pallas = lambda: True
+        try:
+            yield TK
+        finally:
+            TK.pl.pallas_call = orig_call
+            TK._use_pallas = orig_use
+    return ctx()
+
+
+def _tp_inputs(B=2, E=40, seed=0):
+    from codlad_tpu.nn.irreps import Irreps
+    from codlad_tpu.nn.tensor_product import fused_tp_tables
+
+    in_ir = Irreps("12x0e+4x1o+4x1e+12x0o")
+    sh_ir = Irreps("1x0e+1x1o+1x2e")
+    out_ir = in_ir
+    tb = fused_tp_tables(tuple(in_ir), tuple(sh_ir), tuple(out_ir))
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, E, in_ir.dim)).astype(np.float32))
+    sh = jnp.asarray(rng.normal(size=(B, E, sh_ir.dim)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(B, E, tb["numel"])).astype(np.float32) * 0.2)
+    cbig_r = jnp.asarray(tb["CBIG_R"])
+    expw = jnp.asarray(tb["EXPW"])
+    sumr = jnp.asarray(tb["SUMR"])
+    return x, sh, w, cbig_r, expw, sumr
+
+
+def test_pallas_fused_tp_forward():
+    """VMEM TP kernel == the XLA big-lane formulation (interpret mode),
+    incl. the non-tile-multiple edge-count padding path."""
+    from codlad_tpu.kernels import tp_kernels as TK
+
+    x, sh, w, cbig_r, expw, sumr = _tp_inputs()
+    want = TK.ref_fused_tp(x, sh, w, cbig_r, expw, sumr)
+    with _force_tp_pallas() as TKf:
+        got = TKf._pallas_fused_tp(x, sh, w, cbig_r, expw, sumr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_pallas_fused_tp_backward():
+    """VMEM TP backward kernel == autodiff of the XLA formulation."""
+    from codlad_tpu.kernels import tp_kernels as TK
+
+    x, sh, w, cbig_r, expw, sumr = _tp_inputs(seed=7)
+
+    def loss_p(args):
+        x, sh, w = args
+        out = TK.fused_tp(x, sh, w, cbig_r, expw, sumr)
+        return (out * jnp.sin(0.1 * jnp.arange(out.size).reshape(out.shape))).sum()
+
+    def loss_r(args):
+        x, sh, w = args
+        out = TK.ref_fused_tp(x, sh, w, cbig_r, expw, sumr)
+        return (out * jnp.sin(0.1 * jnp.arange(out.size).reshape(out.shape))).sum()
+
+    with _force_tp_pallas():
+        got = jax.grad(loss_p)((x, sh, w))
+    want = jax.grad(loss_r)((x, sh, w))
+    for name, a, b in zip("x sh w".split(), got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3, err_msg=name)
