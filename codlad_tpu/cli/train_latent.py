@@ -49,8 +49,13 @@ def build_parser():
     p.add_argument("--self_condition", action="store_true", default=False)
     p.add_argument("--save_step", type=int, default=5000)
     p.add_argument("--log_step", type=int, default=100)
+    p.add_argument("--val_batch_size", type=int, default=None,
+                   help="global validation batch (default: --batch_size)")
     p.add_argument("--val_every_epochs", type=int, default=1,
                    help="run validation every N epochs")
+    p.add_argument("--record_data", type=str, default=None,
+                   help="debug: append consumed (file,row) pairs per host "
+                        "to this path (multi-host coverage testing)")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true", default=False)
@@ -66,6 +71,11 @@ def build_parser():
                         "gates scale the whole trunk, protein_mpnn_utils.py:"
                         "249,270); 'residual' is DiT-style branch gating — "
                         "identity at init, a training-efficiency variant")
+    p.add_argument("--class_dropout_prob", type=float, default=0.0,
+                   help="cfg training: replace a sample's whole sequence "
+                        "with the null residue token (vocab-1) with this "
+                        "probability (reference ships class_dropout 0 and "
+                        "a broken cfg path; this trains a real one)")
     p.add_argument("--t_sampler", type=str, default="uniform",
                    choices=["uniform", "loss_second_moment"],
                    help="diffusion timestep schedule sampler (the reference "
@@ -76,15 +86,53 @@ def build_parser():
 class FeatureDataset:
     """Batches of normalized latents + conditioning from extract_features
     output (reference CustomDataset + latent_collate_fn,
-    utils/dataset_module.py:382-490)."""
+    utils/dataset_module.py:382-490).
 
-    def __init__(self, directory, batch_size, seed=0, shuffle=True):
+    Multi-host: `batch_size` is the PER-HOST batch; each process consumes a
+    disjoint stripe `perm[p::P]` of the (identically seeded, hence
+    identical) shuffled index permutation, so the global batch assembled by
+    `make_array_from_process_local_data` holds every sample exactly once —
+    the TPU equivalent of the reference's per-process batch split
+    (reference train_latent.py:54).  Stripes are padded (mask-zeroed
+    duplicates) so every host yields the same number of equally-shaped
+    batches and the collective-issuing train steps stay in lockstep.
+
+    If the feature files carry posterior statistics (`mu`, `sigma` — saved
+    by extract_features for fgvae/cgvae), a FRESH reparametrization
+    x1 = mu + sigma*eps is drawn every epoch, matching the reference's
+    CustomDataset re-draw on every access (utils/dataset_module.py:419-454)
+    instead of freezing one sample at extract time.
+
+    `record_file`: debug hook appending "file:row" for every real
+    (non-padding) sample consumed — used by the multi-host CLI test to
+    prove exactly-once global coverage.
+    """
+
+    def __init__(self, directory, batch_size, seed=0, shuffle=True,
+                 process_index=0, process_count=1, record_file=None):
         self.directory = directory
         self.files = sorted(f for f in os.listdir(directory)
                             if f.endswith(".npz") and f != "manifest.npz")
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.process_index = process_index
+        self.process_count = max(process_count, 1)
+        self.record_file = record_file
         self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def _stripe(self, idx):
+        """This host's rows, padded so all hosts agree on batch count.
+        Returns (padded stripe, number of real rows)."""
+        P = self.process_count
+        stripe = idx[self.process_index::P]
+        n_local = -(-idx.size // P)          # ceil: max stripe length
+        real = stripe.size
+        if real < n_local:
+            fill = stripe[0] if real else idx[0]
+            stripe = np.concatenate(
+                [stripe, np.full(n_local - real, fill, dtype=idx.dtype)])
+        return stripe, real
 
     def __iter__(self):
         files = list(self.files)
@@ -92,19 +140,35 @@ class FeatureDataset:
             self._rng.shuffle(files)
         from codlad_tpu.data.shards import iter_padded_batches
 
+        self._epoch += 1
+        eps_rng = np.random.default_rng(
+            (hash((self._epoch, self.process_index)) & 0x7FFFFFFF))
         for fname in files:
             z = np.load(os.path.join(self.directory, fname))
-            n = z["latents"].shape[0]
+            n = z["latents"].shape[0] if "latents" in z else z["mu"].shape[0]
             idx = np.arange(n)
             if self.shuffle:
                 self._rng.shuffle(idx)
+            stripe, real = self._stripe(idx)
+            if self.record_file is not None and real:
+                with open(self.record_file, "a") as f:
+                    for r in stripe[:real]:
+                        f.write(f"{fname}:{int(r)}\n")
+            if "mu" in z and "sigma" in z:
+                mu, sigma = z["mu"], z["sigma"]
+                x1 = mu + sigma * eps_rng.standard_normal(
+                    mu.shape).astype(mu.dtype)
+            else:
+                x1 = z["latents"]
             data = {
-                "x1": z["latents"],
+                "x1": x1,
                 "res_type": z["res_type"],
                 "cg_xyz": z["cg_xyz_og"][:, 1:-1],
                 "mask": z["res_mask"],
             }
-            yield from iter_padded_batches(data, self.batch_size, idx)
+            # rows beyond `real` are stripe padding: masks zeroed
+            yield from iter_padded_batches(data, self.batch_size, stripe,
+                                           n_valid=real)
 
 
 def main(argv=None):
@@ -124,27 +188,47 @@ def main(argv=None):
     from codlad_tpu.train.state import create_train_state, warmup_linear_schedule
     from codlad_tpu.train.steps import make_latent_step
 
-    logger = create_logger(args.exp)
+    # distributed init FIRST: rank gating below keys off process_index
+    # (the reference gates on accelerator.is_main_process,
+    # train_latent.py:46,268,282,378)
+    mesh_mod.maybe_init_distributed()
+    is_main = mesh_mod.is_main_process()
+    pidx, pcount = jax.process_index(), jax.process_count()
+
+    logger = create_logger(args.exp, main=is_main)
     from codlad_tpu.train.logging_utils import MetricsSink
     sink = MetricsSink(args.exp, run_name=os.path.basename(args.exp),
-                       config=vars(args))
+                       config=vars(args), enabled=is_main)
     ckpt = CheckpointManager(args.exp)
-    ckpt.save_config(vars(args))
+    if is_main:
+        ckpt.save_config(vars(args))
     logger.info(f"args: {vars(args)}")
 
-    mesh_mod.maybe_init_distributed()
     n_dev = jax.device_count()
     mesh = mesh_mod.make_mesh(n_dev)
     logger.info(f"data-parallel over {n_dev} device(s), "
-                f"process {jax.process_index()}/{jax.process_count()}")
+                f"process {pidx}/{pcount}")
 
     if args.stats_name:
         mean, std = load_stats(args.stats_dir, args.stats_name)
     else:
         mean, std = np.zeros(args.latent_size, np.float32), np.ones(args.latent_size, np.float32)
 
-    data = FeatureDataset(args.feature_dir, args.batch_size, seed=args.seed)
-    val = FeatureDataset(args.val_dir or args.feature_dir, 4, shuffle=False)
+    # per-host batch split (reference train_latent.py:54: per-process
+    # batch = global / num_processes); every host loads only its stripe
+    if args.batch_size % pcount:
+        raise SystemExit(f"--batch_size {args.batch_size} must divide by "
+                         f"process count {pcount}")
+    host_bs = args.batch_size // pcount
+    val_bs_global = args.val_batch_size or args.batch_size
+    host_val_bs = max(val_bs_global // pcount, 1)
+    record = (f"{args.record_data}.p{pidx}" if args.record_data else None)
+    data = FeatureDataset(args.feature_dir, host_bs, seed=args.seed,
+                          process_index=pidx, process_count=pcount,
+                          record_file=record)
+    val = FeatureDataset(args.val_dir or args.feature_dir, host_val_bs,
+                         shuffle=False, process_index=pidx,
+                         process_count=pcount)
 
     # model: sbcfm needs velocity + score head (2x); diffusion needs
     # mean + learned-range variance (2x)
@@ -182,7 +266,8 @@ def main(argv=None):
     train_step, eval_step = make_latent_step(
         model, process, process_kind=args.model, ema_decay=args.ema_decay,
         dropout=args.dropout > 0,
-        compute_dtype="bfloat16" if args.bf16 else None)
+        compute_dtype="bfloat16" if args.bf16 else None,
+        class_dropout_prob=args.class_dropout_prob)
 
     resampler = None
     if args.model == "diffusion" and args.t_sampler == "loss_second_moment":
@@ -204,6 +289,7 @@ def main(argv=None):
     log_t0, log_steps = time.time(), 0
     best_val = np.inf
     stop = False
+    local_dev = max(n_dev // pcount, 1)
 
     for epoch in range(args.epochs):
         if stop:
@@ -211,17 +297,23 @@ def main(argv=None):
         for hb in data:
             x1 = normalize(hb.pop("x1"), mean, std, norm_in=True).astype(np.float32)
             hb["x1"] = x1
-            hb = mesh_mod.pad_batch_to_devices(hb, n_dev)
+            hb = mesh_mod.pad_batch_to_devices(hb, local_dev)
             sb = mesh_mod.shard_batch(hb, mesh)
             x1 = sb.pop("x1")
             key = jax.random.fold_in(jax.random.PRNGKey(args.seed), train_steps)
             if resampler is not None:
+                # t and the per-sample losses are GLOBAL arrays (the batch
+                # is mesh-sharded), and every host updates its resampler
+                # with the same replicated values — the same semantics as
+                # the reference's dist.all_gather loss sync
+                # (timestep_sampler.py:86-103), with XLA doing the gather.
                 k_t = jax.random.fold_in(key, 777)
                 t, t_w = resampler.sample(k_t, x1.shape[0])
                 state, metrics = train_step(state, x1, sb, key, t=t, t_weights=t_w)
+                keep = np.asarray(metrics["valid_mask"]) > 0
                 resampler.update_with_losses(
-                    np.asarray(metrics["t"]),
-                    np.asarray(metrics["loss_per_sample"]))
+                    np.asarray(metrics["t"])[keep],
+                    np.asarray(metrics["loss_per_sample"])[keep])
             else:
                 state, metrics = train_step(state, x1, sb, key)
             train_steps += 1
@@ -236,33 +328,49 @@ def main(argv=None):
                     f"loss {float(metrics['loss']):.5f}{mse} "
                     f"grad_norm {float(metrics['grad_norm']):.4f} "
                     f"steps/sec {log_steps / dt:.3f}")
-                sink.log({"loss": metrics["loss"],
-                          "grad_norm": metrics["grad_norm"],
-                          "steps_per_sec": log_steps / dt,
-                          **({"mse": metrics["mse"]} if "mse" in metrics else {})},
-                         step=train_steps)
+                if is_main:
+                    sink.log({"loss": metrics["loss"],
+                              "grad_norm": metrics["grad_norm"],
+                              "steps_per_sec": log_steps / dt,
+                              **({"mse": metrics["mse"]} if "mse" in metrics else {})},
+                             step=train_steps)
                 log_t0, log_steps = time.time(), 0
             if train_steps % args.save_step == 0:
+                # every process calls save (orbax is collective; only the
+                # primary host writes) — the step counter is identical on
+                # all hosts so the calls stay in lockstep
                 ckpt.save(state, f"step_{train_steps}")
                 ckpt.save(state, "last")
             if args.max_steps and train_steps >= args.max_steps:
                 stop = True
                 break
 
-        # validation (reference train_latent.py:299-375)
+        # validation (reference train_latent.py:299-375): batches are
+        # mesh-sharded like training ones, so the masked means inside
+        # eval_step reduce over the GLOBAL batch (XLA inserts the
+        # collectives — the reference's gather_for_metrics); every host
+        # computes the identical vloss, saves happen on main only
         if (epoch + 1) % max(args.val_every_epochs, 1) != 0:
             continue
-        vlosses = []
+        vnum = vden = 0.0
         for i, hb in enumerate(val):
             x1 = normalize(hb.pop("x1"), mean, std, norm_in=True).astype(np.float32)
-            extras = {k: jnp.asarray(v) for k, v in hb.items()}
-            m = eval_step(state, jnp.asarray(x1), extras,
-                          jax.random.fold_in(rng, i))
-            vlosses.append(float(m["loss"]))
-        vloss = float(np.mean(vlosses)) if vlosses else np.nan
+            hb["x1"] = x1
+            hb = mesh_mod.pad_batch_to_devices(hb, local_dev)
+            sb = mesh_mod.shard_batch(hb, mesh)
+            x1 = sb.pop("x1")
+            m = eval_step(state, x1, sb, jax.random.fold_in(rng, i))
+            w = float(m.get("weight", x1.shape[0]))
+            vnum += float(m["loss"]) * w
+            vden += w
+        vloss = vnum / vden if vden else np.nan
         logger.info(f"epoch {epoch}: val loss {vloss:.5f}")
-        sink.log({"loss": vloss, "epoch": epoch}, step=train_steps,
-                 split="val")
+        if is_main:
+            sink.log({"loss": vloss, "epoch": epoch}, step=train_steps,
+                     split="val")
+        # vloss derives from replicated global arrays -> identical on all
+        # hosts, so the save decisions stay in lockstep (orbax saves are
+        # collective: all processes call, primary writes)
         if np.isfinite(vloss) and vloss < best_val:
             best_val = vloss
             ckpt.save(state, "best")

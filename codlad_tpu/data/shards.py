@@ -105,19 +105,27 @@ def align_shard_buckets(directory):
     return merged
 
 
-def iter_padded_batches(data, batch_size, idx):
-    """Yield constant-size batches covering every index in `idx` exactly
-    once.  The final partial batch is padded back to `batch_size` by
+def iter_padded_batches(data, batch_size, idx, n_valid=None):
+    """Yield constant-size batches covering every index in `idx[:n_valid]`
+    exactly once.  Partial batches are padded back to `batch_size` by
     repeating the first selected frame with every `*mask` key zeroed, so
     masked losses/metrics ignore the padding and the batch shape stays
     compile-stable (reference DataLoaders keep partial batches,
-    drop_last=False — train_vqvae.py:58-66)."""
+    drop_last=False — train_vqvae.py:58-66).
+
+    n_valid (default: all of idx): rows of `idx` at positions >= n_valid
+    are treated as padding too and get their masks zeroed — used by
+    per-host data striping, where stripes are pre-padded to a common
+    length so every host yields the same batch count."""
+    if n_valid is None:
+        n_valid = idx.size
     for s in range(0, idx.size, batch_size):
         sel = idx[s:s + batch_size]
-        valid = sel.size
-        if valid < batch_size:
+        valid = min(max(n_valid - s, 0), sel.size)
+        if sel.size < batch_size:
+            fill = sel[0] if sel.size else idx[0]
             sel = np.concatenate(
-                [sel, np.full(batch_size - valid, sel[0], dtype=sel.dtype)])
+                [sel, np.full(batch_size - sel.size, fill, dtype=idx.dtype)])
         out = {k: v[sel] for k, v in data.items()}
         if valid < batch_size:
             for k, v in out.items():
@@ -137,6 +145,9 @@ class ShardDataset:
     shuffle within a shard (reference dataset_module.py:72-92).  Every
     frame appears exactly once per epoch: the tail batch is padded with
     mask-zeroed duplicates instead of being dropped.
+
+    For batches that MIX proteins (the reference MultiPKLDataset pool
+    straddles shard boundaries), see MixedShardDataset.
     """
 
     def __init__(self, directory, batch_size, seed=0, shuffle=True):
@@ -166,5 +177,95 @@ class ShardDataset:
         for fname in self.files:
             _, data = load_protein_shard(os.path.join(self.directory, fname))
             n = data["res_type"].shape[0]
+            total += -(-n // self.batch_size)
+        return total
+
+
+class MixedShardDataset:
+    """Streams frame batches MIXING proteins within a compilation bucket.
+
+    The reference's MultiPKLDataset keeps a bounded in-RAM pool that
+    straddles per-protein pickle boundaries, so a batch can hold frames of
+    different proteins (reference: utils/dataset_module.py:26-117, pool
+    max 10k halved on overflow; utils/train_module.py:269-311 has the
+    explicit multi-protein batch path).  Here: shards are grouped by their
+    PadSpec (after data.shards.align_shard_buckets, all shards of an L
+    bucket share one spec, so their padded arrays concatenate directly),
+    and within each group a bounded frame pool is filled from shuffled
+    shards, shuffled, and drained as full batches — cross-protein by
+    construction whenever a bucket holds >1 protein.  Every frame appears
+    exactly once per epoch; each group's tail batch is mask-padded.
+    """
+
+    def __init__(self, directory, batch_size, seed=0, shuffle=True,
+                 pool_frames=4096):
+        self.directory = directory
+        self.files = sorted(
+            f for f in os.listdir(directory) if f.endswith(".npz"))
+        if not self.files:
+            raise FileNotFoundError(f"no .npz shards in {directory}")
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.pool_frames = max(pool_frames, batch_size)
+        self._rng = np.random.default_rng(seed)
+        self._groups = {}
+        for f in self.files:
+            spec, _ = load_protein_shard(os.path.join(directory, f))
+            key = json.dumps(dataclasses.asdict(spec), sort_keys=True)
+            self._groups.setdefault(key, []).append(f)
+
+    def _drain(self, chunks, count, final):
+        """Emit batches from the pooled chunks; return the remainder."""
+        if count == 0:
+            return [], 0
+        data = {k: np.concatenate([c[k] for c in chunks])
+                for k in chunks[0]}
+        idx = np.arange(count)
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        n_emit = count if final else (count // self.batch_size) * self.batch_size
+        if n_emit:
+            yield from iter_padded_batches(data, self.batch_size, idx[:n_emit])
+        rest = idx[n_emit:]
+        if rest.size:
+            return [{k: v[rest] for k, v in data.items()}], rest.size
+        return [], 0
+
+    def __iter__(self):
+        group_keys = list(self._groups)
+        if self.shuffle:
+            self._rng.shuffle(group_keys)
+        for key in group_keys:
+            files = list(self._groups[key])
+            if self.shuffle:
+                self._rng.shuffle(files)
+            chunks, count = [], 0
+            for fname in files:
+                _, data = load_protein_shard(
+                    os.path.join(self.directory, fname))
+                chunks.append(data)
+                count += data["res_type"].shape[0]
+                if count >= self.pool_frames:
+                    gen = self._drain(chunks, count, final=False)
+                    try:
+                        while True:
+                            yield next(gen)
+                    except StopIteration as stop:
+                        chunks, count = stop.value
+            gen = self._drain(chunks, count, final=True)
+            try:
+                while True:
+                    yield next(gen)
+            except StopIteration:
+                pass
+
+    def epoch_batches(self):
+        total = 0
+        for key, files in self._groups.items():
+            n = 0
+            for fname in files:
+                _, data = load_protein_shard(
+                    os.path.join(self.directory, fname))
+                n += data["res_type"].shape[0]
             total += -(-n // self.batch_size)
         return total

@@ -50,7 +50,14 @@ class CheckpointManager:
         return tree
 
     def save(self, state, name):
-        """name: 'last', 'best', or f'step_{n}'."""
+        """name: 'last', 'best', or f'step_{n}'.
+
+        Multi-host: EVERY process must call this (orbax synchronizes
+        internally and only the primary host writes — gating the call on
+        the main process would deadlock the primary at orbax's barrier).
+        The directory must be shared/consistent across hosts, and save
+        decisions must be based on replicated values so all hosts call in
+        lockstep (cli/train_latent.py does both)."""
         to_np = lambda t: jax.tree.map(np.asarray, t)
         self._ckpt.save(self._path(name, "main"), to_np(self._main_tree(state)),
                         force=True)

@@ -16,12 +16,21 @@ import time
 import numpy as np
 
 
-def create_logger(logdir, name="codlad"):
-    os.makedirs(logdir, exist_ok=True)
+def create_logger(logdir, name="codlad", main=True):
+    """main=False (non-main process in a multi-host run): no files are
+    created and INFO chatter is suppressed — one copy of logs per run
+    (reference gates on is_main_process, train_latent.py:46)."""
     logger = logging.getLogger(name)
-    logger.setLevel(logging.INFO)
     logger.handlers.clear()
     fmt = logging.Formatter("[%(asctime)s] %(message)s", "%Y-%m-%d %H:%M:%S")
+    if not main:
+        logger.setLevel(logging.WARNING)
+        h = logging.StreamHandler()
+        h.setFormatter(fmt)
+        logger.addHandler(h)
+        return logger
+    os.makedirs(logdir, exist_ok=True)
+    logger.setLevel(logging.INFO)
     for h in (logging.StreamHandler(), logging.FileHandler(os.path.join(logdir, "log.txt"))):
         h.setFormatter(fmt)
         logger.addHandler(h)
@@ -138,10 +147,15 @@ class MetricsSink:
     of any tracking-library imports.
     """
 
-    def __init__(self, logdir, run_name=None, config=None, use_wandb="auto"):
+    def __init__(self, logdir, run_name=None, config=None, use_wandb="auto",
+                 enabled=True):
+        self.enabled = enabled
+        self._wandb = None
+        if not enabled:  # non-main process: write nothing
+            self.path = None
+            return
         os.makedirs(logdir, exist_ok=True)
         self.path = os.path.join(logdir, "metrics.jsonl")
-        self._wandb = None
         if use_wandb in (True, "auto"):
             try:
                 import wandb
@@ -155,6 +169,8 @@ class MetricsSink:
                 self._wandb = None
 
     def log(self, metrics, step=None, split="train"):
+        if not self.enabled:
+            return
         import json as _json
 
         row = {"step": int(step) if step is not None else None,

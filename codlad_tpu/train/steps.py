@@ -145,6 +145,17 @@ def make_genzprot_step(model: GenZProt, *, beta=0.05, max_kl_free=0.01,
     return train_step, eval_step
 
 
+def apply_class_dropout(rng, res_type, p, null_id):
+    """Classifier-free-guidance training: with probability p, a sample's
+    WHOLE residue-type sequence is replaced by the null token, so the model
+    learns a genuine unconditional-sequence predictor (the reference ships
+    class_dropout 0 and an undefined forward_with_cfg — test.py:525;
+    this finishes the job: DiT-style label dropout adapted to per-residue
+    sequence conditioning)."""
+    drop = jax.random.bernoulli(rng, p, (res_type.shape[0],))
+    return jnp.where(drop[:, None], jnp.full_like(res_type, null_id), res_type)
+
+
 def masked_l2(pred, target, mask):
     """Reference loss_fn 'l2': masked mean of squared error
     (train_module.py:27-56)."""
@@ -153,7 +164,8 @@ def masked_l2(pred, target, mask):
 
 
 def make_latent_step(denoiser, process, *, process_kind: str,
-                     ema_decay=0.9999, dropout=True, compute_dtype=None):
+                     ema_decay=0.9999, dropout=True, compute_dtype=None,
+                     class_dropout_prob=0.0):
     """Stage-2 steps. process_kind: 'diffusion' | one of the flow names |
     'backbone'. `process` is the GaussianDiffusion or flow matcher.
 
@@ -161,10 +173,19 @@ def make_latent_step(denoiser, process, *, process_kind: str,
     in bf16 (activations AND a bf16 view of the params; grads accumulate
     back through the cast into the f32 master params), while the
     q-sample/VB/MSE diffusion math stays f32. Halves the [B, L, K, H]
-    message-tensor traffic that dominates the train step."""
+    message-tensor traffic that dominates the train step.
+
+    class_dropout_prob > 0 trains the cfg unconditional branch: whole
+    sequences are replaced by the null residue token (vocab-1) with that
+    probability (see apply_class_dropout)."""
+    null_id = getattr(denoiser, "vocab", 30) - 1
 
     def model_apply(params, x, t, rng, extras, x_self_cond=None, train=True):
         use_dropout = dropout and train
+        if class_dropout_prob > 0 and train:
+            k_cls = jax.random.fold_in(rng, 0xC1A55)
+            extras = dict(extras, res_type=apply_class_dropout(
+                k_cls, extras["res_type"], class_dropout_prob, null_id))
         if compute_dtype is not None:
             cast = lambda v: (v.astype(compute_dtype)
                               if hasattr(v, "dtype")
@@ -183,6 +204,13 @@ def make_latent_step(denoiser, process, *, process_kind: str,
 
     def loss_fn(params, x1, extras, rng, train=True, t=None, t_weights=None):
         mask3 = extras["mask"][..., None]
+        # batch-padding rows (compile-stable tail batches, per-host stripe
+        # padding) carry all-zero masks: normalize by the VALID sample
+        # count so they don't dilute the mean (the reference's smaller
+        # true partial batches have the same semantics, train_latent.py:249)
+        valid = jnp.any(extras["mask"], axis=tuple(range(1, extras["mask"].ndim))
+                        ).astype(jnp.float32)
+        n_valid = jnp.maximum(valid.sum(), 1.0)
         if process_kind == "diffusion":
             k_t, k_loss = jax.random.split(rng)
             if t is None:
@@ -191,20 +219,26 @@ def make_latent_step(denoiser, process, *, process_kind: str,
             model_fn = lambda x, tt, k, x_self_cond=None: model_apply(
                 params, x, tt, k, extras, x_self_cond, train=train)
             terms = process.training_losses(k_loss, model_fn, x1, t, mask=mask3)
-            per_sample = terms["loss"]
+            per_sample = terms["loss"] * valid
             if t_weights is not None:
-                loss = (per_sample * t_weights).mean()
+                loss = (per_sample * t_weights).sum() / n_valid
             else:
-                loss = per_sample.mean()
-            return loss, {"mse": terms["mse"].mean(),
-                          "loss_per_sample": per_sample, "t": t}
+                loss = per_sample.sum() / n_valid
+            return loss, {"mse": (terms["mse"] * valid).sum() / n_valid,
+                          "loss_per_sample": per_sample, "t": t,
+                          "valid_mask": valid, "weight": n_valid}
+        # flow/backbone losses are masked-token means (masked_l2): padded
+        # samples contribute zero to BOTH numerator and denominator, so
+        # they are already tail-exact; `weight` = token count for
+        # validation aggregation across unevenly-padded batches
+        token_w = extras["mask"].sum().astype(jnp.float32)
         if process_kind == "backbone":
             k_x0, k_drop = jax.random.split(rng)
             x0 = jax.random.normal(k_x0, x1.shape)
             t = jnp.ones((x1.shape[0],), x1.dtype)
             vt = model_apply(params, x0, t, k_drop, extras, train=train)
             loss = masked_l2(vt, x1, extras["mask"])
-            return loss, {}
+            return loss, {"weight": token_w}
         # flow matching
         k_x0, k_fm, k_drop = jax.random.split(rng, 3)
         x0 = jax.random.normal(k_x0, x1.shape)
@@ -219,10 +253,10 @@ def make_latent_step(denoiser, process, *, process_kind: str,
             lambda_t = process.compute_lambda(t)
             loss = masked_l2(vt, ut, extras["mask"])
             score_loss = jnp.mean((lambda_t[:, None, None] * st + eps) ** 2)
-            return loss + score_loss, {"score": score_loss}
+            return loss + score_loss, {"score": score_loss, "weight": token_w}
         t, xt, ut = process.sample_location_and_conditional_flow(k_fm, x0, x1)
         vt = model_apply(params, xt, t, k_drop, extras, train=train)
-        return masked_l2(vt, ut, extras["mask"]), {}
+        return masked_l2(vt, ut, extras["mask"]), {"weight": token_w}
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, x1, extras, rng, t=None, t_weights=None):

@@ -201,3 +201,90 @@ def test_latent_step_mixed_precision_close():
         losses[tag] = float(m["loss"])
         assert np.isfinite(losses[tag])
     assert abs(losses["bf16"] - losses["f32"]) / abs(losses["f32"]) < 0.05, losses
+
+
+def test_apply_class_dropout():
+    """cfg training: whole-sequence null-token replacement at rate p."""
+    import jax
+    import jax.numpy as jnp
+
+    from codlad_tpu.train.steps import apply_class_dropout
+
+    rng = jax.random.PRNGKey(0)
+    res = jnp.tile(jnp.arange(8, dtype=jnp.int32)[None], (64, 1))
+    assert (np.asarray(apply_class_dropout(rng, res, 0.0, 29)) ==
+            np.asarray(res)).all()
+    allnull = np.asarray(apply_class_dropout(rng, res, 1.0, 29))
+    assert (allnull == 29).all()
+    half = np.asarray(apply_class_dropout(rng, res, 0.5, 29))
+    row_is_null = (half == 29).all(axis=1)
+    row_is_orig = (half == np.asarray(res)).all(axis=1)
+    # every row is entirely null or entirely original, and both occur
+    assert (row_is_null | row_is_orig).all()
+    assert row_is_null.any() and row_is_orig.any()
+
+
+def test_latent_step_with_class_dropout_trains():
+    """Train step with --class_dropout_prob: finite loss + nonzero grads
+    through the null-token path (prob 1.0 -> all sequences null)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from codlad_tpu.gen.diffusion import create_diffusion
+    from codlad_tpu.models.denoiser import mpnn_diffusion
+    from codlad_tpu.train.state import create_train_state
+    from codlad_tpu.train.steps import make_latent_step
+
+    B, L = 4, 12
+    rng = np.random.default_rng(0)
+    model = mpnn_diffusion(input_size=3, learn_sigma=True, k_neighbors=8,
+                           dropout=0.0)
+    x1 = jnp.asarray(rng.normal(size=(B, L, 3)).astype(np.float32))
+    extras = {
+        "res_type": jnp.asarray(rng.integers(0, 20, (B, L)).astype(np.int32)),
+        "cg_xyz": jnp.asarray(np.cumsum(
+            3.8 * rng.normal(size=(B, L, 3)), axis=1).astype(np.float32)),
+        "mask": jnp.ones((B, L), bool),
+    }
+    params = model.init(jax.random.PRNGKey(0), x1, jnp.zeros((B,), jnp.int32),
+                        extras["res_type"], extras["cg_xyz"], extras["mask"])
+    state = create_train_state(params, optax.adam(1e-3), with_ema=True)
+    # NB diffusion_steps must keep beta_end*scale < 1 (the reference's
+    # linear schedule scaling, gaussian_diffusion.py) — tiny step counts
+    # make the schedule itself NaN
+    process = create_diffusion(None, diffusion_steps=100, learn_sigma=True)
+    train_step, _ = make_latent_step(model, process, process_kind="diffusion",
+                                     dropout=False, class_dropout_prob=1.0)
+    state2, metrics = train_step(state, x1, extras, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_feature_dataset_fresh_reparametrization(tmp_path):
+    """fgvae/cgvae features: mu/sigma saved at extract time are re-drawn
+    x1 = mu + sigma*eps FRESH each epoch (VERDICT r2 item 5; reference
+    utils/dataset_module.py:419-454 re-draws on every access — round 2
+    froze one draw into the feature files)."""
+    from codlad_tpu.cli.train_latent import FeatureDataset
+
+    rng = np.random.default_rng(0)
+    n, L = 6, 8
+    steps = rng.normal(size=(n, L + 2, 3))
+    np.savez(tmp_path / "prot_0000.npz",
+             mu=rng.normal(size=(n, L, 3)).astype(np.float32),
+             sigma=np.abs(rng.normal(size=(n, L, 3))).astype(np.float32),
+             latents=rng.normal(size=(n, L, 3)).astype(np.float32),
+             res_type=rng.integers(0, 20, (n, L)).astype(np.int32),
+             cg_xyz_og=np.cumsum(3.8 * steps, axis=1).astype(np.float32),
+             res_mask=np.ones((n, L), bool))
+
+    ds = FeatureDataset(str(tmp_path), batch_size=n, shuffle=False)
+    epoch1 = next(iter(ds))["x1"]
+    epoch2 = next(iter(ds))["x1"]
+    assert not np.allclose(epoch1, epoch2), "posterior draw frozen"
+    # and the draws center on mu (sanity that it IS mu + sigma*eps)
+    z = np.load(tmp_path / "prot_0000.npz")
+    for ep in (epoch1, epoch2):
+        zscore = (ep - z["mu"]) / z["sigma"]
+        assert np.abs(zscore).max() < 6.0
