@@ -76,11 +76,15 @@ def main(argv=None):
             if args.learn_sigma:
                 # mu||sigma concat (reference CustomDataset learn_sigma,
                 # dataset_module.py:419-454)
-                return jnp.concatenate([mu, sigma], axis=-1)
-            # reference extracts REPARAMETRIZED latents for the vae paths
-            # (vae_model.py:802-828 get_latent_wovq)
+                return jnp.concatenate([mu, sigma], axis=-1), None, None
+            # one reparametrized draw kept for compatibility (`latents`),
+            # but mu/sigma are ALSO saved so the Stage-2 loader re-draws
+            # x1 = mu + sigma*eps FRESH each epoch, matching the
+            # reference's on-every-access reparametrization
+            # (utils/dataset_module.py:419-454); round 2 froze one draw
             h = mu + sigma * jax.random.normal(key, sigma.shape)
-        return h
+            return h, mu, sigma
+        return h, None, None
 
     os.makedirs(args.out_dir, exist_ok=True)
     all_latents, all_masks = [], []
@@ -89,13 +93,18 @@ def main(argv=None):
     for fname in data.files:
         spec, shard = load_protein_shard(os.path.join(args.data_dir, fname))
         b = {k: jnp.asarray(v) for k, v in shard.items()}
-        h = np.asarray(encode(b, jax.random.fold_in(rng, hash(fname) % (2**31))))
+        h, mu, sigma = encode(b, jax.random.fold_in(rng, hash(fname) % (2**31)))
+        h = np.asarray(h)
         mask = shard["res_mask"]
+        extra = {}
+        if mu is not None:
+            extra = {"mu": np.asarray(mu, np.float32),
+                     "sigma": np.asarray(sigma, np.float32)}
         np.savez_compressed(
             os.path.join(args.out_dir, fname),
             latents=h.astype(np.float32), res_mask=mask,
             res_type=shard["res_type"], cg_xyz_og=shard["cg_xyz_og"],
-            ic=shard["ic"], prot_idx=shard["prot_idx"])
+            ic=shard["ic"], prot_idx=shard["prot_idx"], **extra)
         all_latents.append(h)
         all_masks.append(mask)
         if state.vq_state is not None:

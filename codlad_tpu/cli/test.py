@@ -63,13 +63,9 @@ def build_parser():
     return p
 
 
-import functools
-
-
-@functools.lru_cache(maxsize=4)
 def _genz_sample(model):
-    """Jitted prior-sample + decode for a GenZProt model (cached so repeated
-    proteins of the same bucket shape reuse the compilation)."""
+    """Jitted prior-sample + decode for a GenZProt model.  jit itself
+    caches compilations per bucket shape — no extra memoization needed."""
     import jax
 
     from codlad_tpu.geometry.internal import ic_to_xyz14
@@ -228,6 +224,9 @@ def main(argv=None):
         compute_dtype=jnp.bfloat16 if args.bf16 else None)
 
     data = ShardDataset(args.data_dir, args.batch_size, shuffle=False)
+    # built ONCE so its inner jit cache persists across proteins/ensembles
+    # (per-bucket compilations are cached by jit itself)
+    genz_fn = _genz_sample(vae) if args.experiment == "genzprot" else None
     summary = {}
     t_start = time.time()
     for fname in data.files:
@@ -249,8 +248,7 @@ def main(argv=None):
         elif args.experiment == "genzprot":
             # decode latents sampled from the CG-conditioned prior
             # (reference test.py:499,555: GenZProt C2 path)
-            sample_fn = lambda rng, b: _genz_sample(vae)(
-                vae_state.params, b, rng)
+            sample_fn = lambda rng, b: genz_fn(vae_state.params, b, rng)
             agg = run_ensemble(pipeline, batch, args.num_ensemble,
                                seed=args.seed, sample_fn=sample_fn,
                                return_structures=export, log_fn=log_fn)

@@ -74,6 +74,12 @@ def build_parser():
     p.add_argument("-codebook_temp", type=float, default=0.25)
     p.add_argument("-codebook_ema_decay", type=float, default=0.99)
     p.add_argument("-max_epochs_no_improve", type=int, default=20)
+    p.add_argument("-mix_batches", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="pool frames across proteins within a compilation "
+                        "bucket so batches mix proteins (the reference "
+                        "MultiPKLDataset pool semantics, "
+                        "dataset_module.py:26-117)")
     return p
 
 
@@ -100,7 +106,13 @@ def main(argv=None):
     ckpt.save_config(vars(args))
     logger.info(f"args: {vars(args)}")
 
-    train_data = ShardDataset(args.data_dir, args.batch_size, seed=args.seed)
+    if args.mix_batches:
+        from codlad_tpu.data.shards import MixedShardDataset
+        train_data = MixedShardDataset(args.data_dir, args.batch_size,
+                                       seed=args.seed)
+    else:
+        train_data = ShardDataset(args.data_dir, args.batch_size,
+                                  seed=args.seed)
     val_data = ShardDataset(args.val_dir or args.data_dir, args.batch_size,
                             seed=args.seed, shuffle=False)
 

@@ -135,11 +135,14 @@ class SamplingPipeline:
         rng, sub = jax.random.split(rng)
         z = jax.random.normal(sub, (B, L, self.latent_size))
         if self.cfg_scale and self.cfg_scale != 0.0:
-            # guidance needs an unconditional surrogate: residue-type 0
-            # everywhere (unknown sequence) — conditioning is structural
+            # guidance's unconditional surrogate: the NULL residue token
+            # (vocab-1), the id --class_dropout_prob trains for exactly
+            # this role (structural CG conditioning is kept)
+            null_id = getattr(self.denoiser, "vocab", 30) - 1
             cond = self._compute_condition(params, extras)
             uncond_extras = dict(extras,
-                                 res_type=jnp.zeros_like(extras["res_type"]))
+                                 res_type=jnp.full_like(extras["res_type"],
+                                                        null_id))
             uncond = self._compute_condition(params, uncond_extras)
             return self._sample_from_cond_cfg(
                 rng, params, cond, uncond, z,

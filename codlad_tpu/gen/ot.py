@@ -7,7 +7,8 @@ the batch device->host->device every step) with:
   * `sinkhorn_plan` — entropic OT fully ON DEVICE (log-domain Sinkhorn, a
     fixed number of [B, B] matmul/rowsoftmax iterations — tiny for the
     batch sizes involved and overlaps with the rest of the step);
-  * `exact_plan_host` — exact assignment via scipy's Jonker-Volgenant LAP
+  * `exact_plan_host` — exact assignment via the framework's own C++
+    Jonker-Volgenant LAP solver (native/codlad_native.cpp lap_solve)
     inside `jax.pure_callback` (uniform marginals with equal batch sizes
     make exact EMD an assignment problem, so this IS the exact plan).
 

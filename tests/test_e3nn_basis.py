@@ -161,3 +161,25 @@ def test_tp_parity_rotated_edges():
     got = tp.apply({}, jnp.asarray(x), sh_l2(jnp.asarray(v)),
                    jnp.asarray(w * mult[None, :]))
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+
+
+def test_w3j_matches_pinned_fixtures():
+    """The 15 reconstructed Wigner-3j tensors (all valid l<=2 paths) match
+    the committed fixtures (tests/fixtures/e3nn_w3j.npz, generated by
+    scripts/gen_e3nn_fixtures.py — which also diffs them against e3nn
+    itself on any machine where e3nn is installable).  Catches silent
+    drift in the first-principles reconstruction."""
+    import os
+
+    fix = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                               "e3nn_w3j.npz"))
+    n = 0
+    for l1 in range(3):
+        for l2 in range(3):
+            for l3 in range(abs(l1 - l2), min(l1 + l2, 2) + 1):
+                want = fix[f"w3j_{l1}_{l2}_{l3}"]
+                got = np.asarray(eb.e3nn_w3j(l1, l2, l3), np.float64)
+                np.testing.assert_allclose(got, want, atol=1e-12,
+                                           err_msg=f"w3j({l1},{l2},{l3})")
+                n += 1
+    assert n == 15
