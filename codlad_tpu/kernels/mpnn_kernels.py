@@ -84,6 +84,14 @@ def _use_pallas():
         return False
 
 
+def _use_pallas_bwd():
+    """A/B hook: CODLAD_PALLAS_BWD=0 keeps the Pallas forwards but routes
+    backwards through autodiff of the pure-JAX twin (XLA replay)."""
+    import os
+
+    return _use_pallas() and os.environ.get("CODLAD_PALLAS_BWD", "1") != "0"
+
+
 # ---------------------------------------------------------------------------
 # reference implementations (ground truth + non-TPU fallback)
 
@@ -666,7 +674,7 @@ def _sum_fwd(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale):
 def _sum_bwd(res, g):
     A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale = res
     gs = g / scale
-    if _use_pallas():
+    if _use_pallas_bwd():
         dA, dE, dGn, dWe, dW2, db2, dW3, db3 = _pallas_sum_bwd(
             A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, gs)
         return (_cast_like(dA, A), _cast_like(dE, E), _cast_like(dGn, Gn),
@@ -703,7 +711,7 @@ def _edge_fwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
 
 def _edge_bwd(res, g):
     A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3 = res
-    if _use_pallas():
+    if _use_pallas_bwd():
         dA, dE, dGn, dWe, dW2, db2, dW3, db3 = _pallas_edge_bwd(
             A, E, Gn, idx, onehot, W_e, W2, b2, W3, g)
         return (_cast_like(dA, A), _cast_like(dE, E), _cast_like(dGn, Gn),
@@ -741,7 +749,7 @@ def _edge_lnmod_fwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g):
 
 def _edge_lnmod_bwd(res, ct):
     A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g = res
-    if _use_pallas():
+    if _use_pallas_bwd():
         (dA, dE, dGn, dWe, dW2, db2, dW3, db3, dsh, dsc, dg) = \
             _pallas_edge_lnmod_bwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3,
                                    b3, sc, g, ct)

@@ -61,14 +61,21 @@ class MPNNDenoiser(nn.Module):
     adaln_mode: str = "trunk"  # 'trunk' (reference) | 'residual' (DiT-style)
 
     def setup(self):
+        from codlad_tpu.nn.layers import torch_linear_init
+
         h = self.hidden_dim
         self.t_embedder = TimestepEmbedder(h)
         self.features = CAProteinFeatures(
             self.edge_features, top_k=self.k_neighbors,
             augment_eps=self.augment_eps)
-        self.x_in = nn.Dense(h)
-        self.w_e = nn.Dense(h)
-        self.w_s = nn.Embed(self.vocab, h)
+        # torch-parity init throughout (nonzero biases break the adaLN-zero
+        # trunk-gating gradient deadlock; see nn/layers.torch_linear_init);
+        # torch nn.Embedding default is N(0, 1)
+        in_size = self.input_size * (2 if self.self_condition else 1)
+        self.x_in = nn.Dense(h, **torch_linear_init(in_size))
+        self.w_e = nn.Dense(h, **torch_linear_init(self.edge_features))
+        self.w_s = nn.Embed(self.vocab, h,
+                            embedding_init=nn.initializers.normal(1.0))
         self.enc_layers = [EncLayerDiffusion(h, h * 2, dropout=self.dropout,
                                              gate_mode=self.adaln_mode)
                            for _ in range(self.num_encoder_layers)]

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from codlad_tpu.nn.layers import torch_linear_init
 from codlad_tpu.kernels.mpnn_kernels import (fused_message_edge,
                                              fused_message_edge_lnmod,
                                              fused_message_sum)
@@ -78,8 +79,14 @@ class PositionWiseFeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = jax.nn.gelu(nn.Dense(self.num_ff)(x), approximate=False)
-        return nn.Dense(self.num_hidden)(h)
+        # torch-style init (nonzero biases) is REQUIRED here: with zero
+        # biases PFF(0) = 0 and the trunk-gated adaLN layers gradient-
+        # deadlock at init (see nn/layers.torch_linear_init)
+        h = jax.nn.gelu(nn.Dense(self.num_ff,
+                                 **torch_linear_init(x.shape[-1]))(x),
+                        approximate=False)
+        return nn.Dense(self.num_hidden,
+                        **torch_linear_init(self.num_ff))(h)
 
 
 class PositionalEncodings(nn.Module):
@@ -268,14 +275,22 @@ class SplitMessageChain(nn.Module):
         input is c*h_E pass h_E and edge_scale=c instead of materializing
         a scaled [B, L, K, H] copy in HBM (W_e is linear)."""
         H = self.num_hidden
-        A = nn.Dense(H)(h_self)
-        Gn = nn.Dense(H, use_bias=False)(nbr_node_pre)
-        init = nn.initializers.lecun_normal()
+        # torch-parity init (see nn/layers.torch_linear_init): xavier
+        # weights, nonzero uniform biases — the biases break the
+        # adaLN-zero trunk-gating gradient deadlock
+        A = nn.Dense(H, **torch_linear_init(h_self.shape[-1]))(h_self)
+        Gn = nn.Dense(H, use_bias=False,
+                      kernel_init=nn.initializers.xavier_uniform())(nbr_node_pre)
+        init = nn.initializers.xavier_uniform()
+        ubound = 1.0 / np.sqrt(H)
+        uinit = lambda key, shape: jax.random.uniform(key, shape,
+                                                      jnp.float32,
+                                                      -ubound, ubound)
         W_e = self.param("W_e", init, (edge_pre.shape[-1], H))
         W2 = self.param("W2", init, (H, H))
-        b2 = self.param("b2", nn.initializers.zeros, (H,))
+        b2 = self.param("b2", uinit, (H,))
         W3 = self.param("W3", init, (H, H))
-        b3 = self.param("b3", nn.initializers.zeros, (H,))
+        b3 = self.param("b3", uinit, (H,))
         if self.edge_scale != 1.0:
             W_e = W_e * self.edge_scale
         idx = nbr["idx"]
@@ -400,14 +415,16 @@ class DecLayerDiffusion(nn.Module):
                 nbr, mask_attend=mask_attend)
         else:
             # masked-decoder path: per-edge [B,L,K,H] blocks, explicit ops
-            d_s = nn.Dense(H, use_bias=False)
-            d_v = nn.Dense(H, use_bias=False)
+            xavier = nn.initializers.xavier_uniform()
+            d_s = nn.Dense(H, use_bias=False, kernel_init=xavier)
+            d_v = nn.Dense(H, use_bias=False, kernel_init=xavier)
             nbr_term = d_s(s_node if s_node.ndim == 4 else gather_neighbors(s_node, nbr))
             nbr_term = nbr_term + d_v(v_node if v_node.ndim == 4 else gather_neighbors(v_node, nbr))
-            pre = (nn.Dense(H)(h_V)[:, :, None, :]
-                   + nn.Dense(H, use_bias=False)(edge_pre)
+            pre = (nn.Dense(H, **torch_linear_init(H))(h_V)[:, :, None, :]
+                   + nn.Dense(H, use_bias=False, kernel_init=xavier)(edge_pre)
                    + nbr_term)
-            h_message = nn.Dense(H)(act(nn.Dense(H)(act(pre))))
+            h_message = nn.Dense(H, **torch_linear_init(H))(
+                act(nn.Dense(H, **torch_linear_init(H))(act(pre))))
             if mask_attend is not None:
                 h_message = mask_attend[..., None] * h_message
             dh = jnp.sum(h_message, axis=-2) / self.scale

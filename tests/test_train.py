@@ -288,3 +288,54 @@ def test_feature_dataset_fresh_reparametrization(tmp_path):
     for ep in (epoch1, epoch2):
         zscore = (ep - z["mu"]) / z["sigma"]
         assert np.abs(zscore).max() < 6.0
+
+
+def test_adaln_gates_receive_gradient():
+    """Regression: with flax's default zero biases the trunk-gated
+    adaLN-zero denoiser is in an EXACT gradient deadlock (every gate
+    gradient is <downstream, modulation> with both factors zero), and
+    Stage-2 training converges to the constant predictor.  The torch-
+    parity init (nonzero uniform biases — what torch nn.Linear does by
+    default and the reference's xavier loop does not override,
+    latent_model.py:151-153) must break it: after a few steps every
+    encoder/decoder adaLN modulation kernel is nonzero."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from codlad_tpu.gen.diffusion import create_diffusion
+    from codlad_tpu.models.denoiser import mpnn_diffusion
+    from codlad_tpu.train.state import create_train_state
+    from codlad_tpu.train.steps import make_latent_step
+
+    B, L = 4, 12
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.normal(size=(B, L, 3)).astype(np.float32))
+    steps = rng.normal(size=(B, L, 3))
+    steps /= np.linalg.norm(steps, axis=-1, keepdims=True)
+    extras = {
+        "res_type": jnp.asarray(rng.integers(0, 20, (B, L)).astype(np.int32)),
+        "cg_xyz": jnp.asarray(np.cumsum(3.8 * steps, axis=1).astype(np.float32)),
+        "mask": jnp.ones((B, L), bool),
+    }
+    model = mpnn_diffusion(input_size=3, learn_sigma=True, dropout=0.0,
+                           k_neighbors=8)
+    params = model.init(jax.random.PRNGKey(0), x1, jnp.zeros((B,), jnp.int32),
+                        extras["res_type"], extras["cg_xyz"], extras["mask"])
+    state = create_train_state(params, optax.adamw(1e-3), with_ema=True)
+    process = create_diffusion(None, diffusion_steps=1000, learn_sigma=True)
+    train_step, _ = make_latent_step(model, process, process_kind="diffusion",
+                                     dropout=False)
+    key = jax.random.PRNGKey(1)
+    for i in range(8):
+        state, _ = train_step(state, x1, extras, jax.random.fold_in(key, i))
+    flat = flax.traverse_util.flatten_dict(state.params["params"])
+    for probe in ("enc_layers_0", "enc_layers_2", "dec_layers_0",
+                  "dec_layers_2"):
+        ks = [k for k in flat
+              if probe in "/".join(k) and "Dense_0" in "/".join(k)
+              and k[-1] == "kernel"]
+        assert ks, probe
+        mx = max(float(np.abs(flat[k]).max()) for k in ks)
+        assert mx > 0, f"{probe} adaLN modulation never received gradient"
