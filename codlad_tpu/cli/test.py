@@ -58,6 +58,11 @@ def build_parser():
                         "(reference test.py:787-803)")
     p.add_argument("--doubled_batch", action="store_true", default=False,
                    help="reproduce the reference's doubled-batch sampling")
+    p.add_argument("--ensemble_fold", type=int, default=1,
+                   help="ensemble members generated per sampler call by "
+                        "tiling the batch (fills the chip when per-protein "
+                        "batches are small; >1 uses iid, not bitwise-"
+                        "reproducible, noise streams)")
     p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
                    default=True)
     return p
@@ -242,7 +247,7 @@ def main(argv=None):
         if args.experiment == "latent":
             agg = run_ensemble(pipeline, batch, args.num_ensemble,
                                seed=args.seed, return_structures=export,
-                               log_fn=log_fn)
+                               log_fn=log_fn, fold=args.ensemble_fold)
             if export:
                 agg, structures = agg
         elif args.experiment == "genzprot":
@@ -251,7 +256,8 @@ def main(argv=None):
             sample_fn = lambda rng, b: genz_fn(vae_state.params, b, rng)
             agg = run_ensemble(pipeline, batch, args.num_ensemble,
                                seed=args.seed, sample_fn=sample_fn,
-                               return_structures=export, log_fn=log_fn)
+                               return_structures=export, log_fn=log_fn,
+                               fold=args.ensemble_fold)
             if export:
                 agg, structures = agg
         else:

@@ -241,7 +241,8 @@ def _recon_terms(batch, ic_recon):
 
 
 def run_ensemble(pipeline: SamplingPipeline, batch, num_ensemble, seed=0,
-                 sample_fn=None, return_structures=False, log_fn=None):
+                 sample_fn=None, return_structures=False, log_fn=None,
+                 fold=1):
     """Generate an ensemble, collect per-sample metrics + DIV (reference
     test.py:455-710 loops).
 
@@ -251,23 +252,43 @@ def run_ensemble(pipeline: SamplingPipeline, batch, num_ensemble, seed=0,
     per-sample metric dicts the reference prints per ensemble member
     (test.py:656-676).  With return_structures=True, also returns the
     generated xyz14 stack [S, B, L, 14, 3] for artifact export
-    (reference dumps xtc/pdb per protein, test.py:787-816)."""
+    (reference dumps xtc/pdb per protein, test.py:787-816).
+
+    fold > 1 generates that many ensemble members PER SAMPLER CALL by
+    tiling the batch along axis 0 — per-protein eval batches are small
+    (a handful of frames), so the sequential member loop leaves the chip
+    mostly idle; folding fills it.  Members drawn folded use different
+    (iid) noise streams than the sequential path, so results are
+    statistically — not bitwise — identical across fold settings."""
     sample_fn = sample_fn or pipeline.sample_and_decode
+    B = batch["res_type"].shape[0]
     gens = []
     structures = []
     per_sample = []
-    for s in range(num_ensemble):
-        rng = jax.random.PRNGKey(seed + s)
-        ic_recon, xyz14 = sample_fn(rng, batch)
-        m = {k: float(v) for k, v in
-             evaluate_structures(batch, ic_recon, xyz14).items()}
-        per_sample.append(m)
-        if log_fn is not None:
-            log_fn(s, m)
-        keep = (~batch["endpoint_mask"])[..., None] & batch["atom_mask"]
-        gens.append(jnp.where(keep[..., None], xyz14, 0.0).reshape(xyz14.shape[0], -1, 3))
-        if return_structures:
-            structures.append(np.asarray(xyz14))
+    s = 0
+    while s < num_ensemble:
+        f = min(max(int(fold), 1), num_ensemble - s)
+        if f == 1:
+            rng = jax.random.PRNGKey(seed + s)
+            chunks = [sample_fn(rng, batch)]
+        else:
+            big = {k: jnp.concatenate([v] * f, axis=0) for k, v in batch.items()}
+            rng = jax.random.fold_in(jax.random.PRNGKey(seed), s)
+            ic_f, xyz_f = sample_fn(rng, big)
+            chunks = [(ic_f[i * B:(i + 1) * B], xyz_f[i * B:(i + 1) * B])
+                      for i in range(f)]
+        for ic_recon, xyz14 in chunks:
+            m = {k: float(v) for k, v in
+                 evaluate_structures(batch, ic_recon, xyz14).items()}
+            per_sample.append(m)
+            if log_fn is not None:
+                log_fn(len(per_sample) - 1, m)
+            keep = (~batch["endpoint_mask"])[..., None] & batch["atom_mask"]
+            gens.append(jnp.where(keep[..., None], xyz14, 0.0)
+                        .reshape(xyz14.shape[0], -1, 3))
+            if return_structures:
+                structures.append(np.asarray(xyz14))
+        s += f
     keep = (~batch["endpoint_mask"])[..., None] & batch["atom_mask"]
     flat_mask = keep.reshape(keep.shape[0], -1)
     ref = jnp.where(keep[..., None], batch["xyz14"], 0.0).reshape(flat_mask.shape + (3,))

@@ -32,7 +32,7 @@ try:  # pltpu only exists with TPU support compiled in
 except Exception:  # pragma: no cover
     pltpu = None
 
-_TILE_E = 512
+_TILE_E = 1024
 
 
 def _use_pallas():
@@ -48,12 +48,18 @@ def _use_pallas():
 
 
 def _split_dot(onehot_bf16, x, transpose_onehot=False):
-    """Exact-ish (≈1e-5 rel) f32 matmul against a 0/1 bf16 one-hot via a
-    hi/lo bf16 split of x: two DEFAULT-precision MXU passes instead of the
-    6-pass HIGHEST f32 path (which dominated the kernel cost)."""
+    """f32-accurate matmul against a 0/1 bf16 one-hot.
+
+    bf16 payloads are EXACT in one DEFAULT-precision MXU pass (the one-hot
+    rows select single elements; f32 accumulation adds them exactly).  f32
+    payloads get a hi/lo bf16 split — two passes, ≈1e-5 rel — instead of
+    the 6-pass HIGHEST f32 path (which dominated the kernel cost).
+    """
+    oh = onehot_bf16.T if transpose_onehot else onehot_bf16
+    if x.dtype == jnp.bfloat16:
+        return jnp.dot(oh, x, preferred_element_type=jnp.float32)
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    oh = onehot_bf16.T if transpose_onehot else onehot_bf16
     out = jnp.dot(oh, hi, preferred_element_type=jnp.float32)
     out += jnp.dot(oh, lo, preferred_element_type=jnp.float32)
     return out
@@ -68,8 +74,9 @@ def _gather_kernel(idx_ref, mask_ref, nodes_ref, out_ref):
     n = nodes_ref.shape[1]
     idx = idx_ref[0, :, :]          # [TE, 1]
     onehot = (idx == jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1))
-    onehot = onehot.astype(jnp.bfloat16) * mask_ref[0, :, :].astype(jnp.bfloat16)
-    out_ref[0] = _split_dot(onehot, nodes_ref[0])
+    out = _split_dot(onehot.astype(jnp.bfloat16), nodes_ref[0])
+    # mask the narrow [TE, F] output, not the [TE, N] one-hot (50x less VPU)
+    out_ref[0] = (out * mask_ref[0, :, :]).astype(out_ref.dtype)
 
 
 def _aggregate_kernel(idx_ref, mask_ref, msgs_ref, out_ref, acc_ref):
@@ -83,8 +90,9 @@ def _aggregate_kernel(idx_ref, mask_ref, msgs_ref, out_ref, acc_ref):
     n = out_ref.shape[1]
     idx = idx_ref[0, :, :]          # [TE, 1]
     onehot = (idx == jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1))
-    onehot = onehot.astype(jnp.bfloat16) * mask_ref[0, :, :].astype(jnp.bfloat16)
-    contrib = _split_dot(onehot, msgs_ref[0], transpose_onehot=True)
+    msgs = msgs_ref[0] * mask_ref[0, :, :].astype(msgs_ref.dtype)
+    contrib = _split_dot(onehot.astype(jnp.bfloat16), msgs,
+                         transpose_onehot=True)
 
     @pl.when(e == 0)
     def _():
@@ -94,7 +102,7 @@ def _aggregate_kernel(idx_ref, mask_ref, msgs_ref, out_ref, acc_ref):
 
     @pl.when(e == pl.num_programs(1) - 1)
     def _():
-        out_ref[0] = acc_ref[...]
+        out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
 def _pad_edges(idx, maskf, tile):
@@ -121,9 +129,9 @@ def _pallas_gather(idx, maskf, nodes, interpret=False):
             pl.BlockSpec((1, N, F), lambda b, e: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, _TILE_E, F), lambda b, e: (b, e, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, EP, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, EP, F), nodes.dtype),
         interpret=interpret,
-    )(idx_p[..., None], mask_p[..., None], nodes.astype(jnp.float32))
+    )(idx_p[..., None], mask_p[..., None], nodes)
     return out[:, :E]
 
 
@@ -144,10 +152,10 @@ def _pallas_aggregate(idx, maskf, msgs, n_nodes, interpret=False):
             pl.BlockSpec((1, _TILE_E, F), lambda b, e: (b, e, 0)),
         ],
         out_specs=pl.BlockSpec((1, n_nodes, F), lambda b, e: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, n_nodes, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_nodes, F), msgs.dtype),
         scratch_shapes=[pltpu.VMEM((n_nodes, F), jnp.float32)],
         interpret=interpret,
-    )(idx_p[..., None], mask_p[..., None], msgs.astype(jnp.float32))
+    )(idx_p[..., None], mask_p[..., None], msgs)
 
 
 # ---------------------------------------------------------------------------
@@ -156,17 +164,20 @@ def _pallas_aggregate(idx, maskf, msgs, n_nodes, interpret=False):
 
 def _ref_gather(idx, maskf, nodes):
     out = jnp.take_along_axis(nodes, idx[..., None], axis=1)
-    return out.astype(jnp.float32) * maskf[..., None]
+    return out * maskf[..., None].astype(out.dtype)
 
 
 def _ref_aggregate(idx, maskf, msgs, n_nodes):
     B, E, F = msgs.shape
+    dt = msgs.dtype
     msgs = msgs.astype(jnp.float32) * maskf[..., None]
     offs = (jnp.arange(B) * n_nodes)[:, None]
     seg = (idx + offs).reshape(-1)
     out = jax.ops.segment_sum(msgs.reshape(B * E, F), seg,
                               num_segments=B * n_nodes)
-    return out.reshape(B, n_nodes, F)
+    # accumulate in f32, emit in the payload dtype so the backward
+    # cotangent rides the single-pass bf16 gather path
+    return out.reshape(B, n_nodes, F).astype(dt)
 
 
 # ---------------------------------------------------------------------------
@@ -182,12 +193,15 @@ def edge_gather(idx, maskf, nodes):
 
 
 def _gather_fwd(idx, maskf, nodes):
-    return edge_gather(idx, maskf, nodes), (idx, maskf, nodes.shape[1])
+    # zero-size proto carries the primal dtype (raw dtypes aren't pytree
+    # leaves); cotangent dtype must match the primal's (bf16 feature paths)
+    proto = jnp.zeros((0,), nodes.dtype)
+    return edge_gather(idx, maskf, nodes), (idx, maskf, nodes.shape[1], proto)
 
 
 def _gather_bwd(res, g):
-    idx, maskf, n_nodes = res
-    return None, None, edge_aggregate(idx, maskf, g, n_nodes)
+    idx, maskf, n_nodes, proto = res
+    return None, None, edge_aggregate(idx, maskf, g, n_nodes).astype(proto.dtype)
 
 
 edge_gather.defvjp(_gather_fwd, _gather_bwd)
@@ -202,12 +216,13 @@ def edge_aggregate(idx, maskf, msgs, n_nodes):
 
 
 def _aggregate_fwd(idx, maskf, msgs, n_nodes):
-    return edge_aggregate(idx, maskf, msgs, n_nodes), (idx, maskf)
+    proto = jnp.zeros((0,), msgs.dtype)
+    return edge_aggregate(idx, maskf, msgs, n_nodes), (idx, maskf, proto)
 
 
 def _aggregate_bwd(n_nodes, res, g):
-    idx, maskf = res
-    return None, None, edge_gather(idx, maskf, g)
+    idx, maskf, proto = res
+    return None, None, edge_gather(idx, maskf, g).astype(proto.dtype)
 
 
 edge_aggregate.defvjp(_aggregate_fwd, _aggregate_bwd)

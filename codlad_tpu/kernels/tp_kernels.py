@@ -78,12 +78,11 @@ def _tp_fwd_kernel(x_ref, sh_ref, w_ref, cbig_ref, expw_ref, sumr_ref,
     f32 = jnp.float32
     x = x_ref[0]                    # [TE, din]
     w = w_ref[0]                    # [TE, numel]
-    TR = None
-    for b in range(dsh):
-        xb = x * sh_ref[0][:, b][:, None]
-        c_b = cbig_ref[pl.ds(b * din, din), :]
-        part = jnp.dot(xb, c_b, preferred_element_type=f32)
-        TR = part if TR is None else TR + part
+    # one [TE, dsh*din] @ [dsh*din, R] matmul: a per-b loop contracts only
+    # din (12..36) of the MXU's 128 rows per pass — 3..9x wasted passes
+    xcat = jnp.concatenate([x * sh_ref[0][:, b][:, None] for b in range(dsh)],
+                           axis=1)
+    TR = jnp.dot(xcat, cbig_ref[...], preferred_element_type=f32)
     wR = jnp.dot(w, expw_ref[...], preferred_element_type=f32)
     prod = (wR * TR).astype(x.dtype)
     out_ref[0] = jnp.dot(prod, sumr_ref[...],
@@ -96,13 +95,11 @@ def _tp_bwd_kernel(x_ref, sh_ref, w_ref, cbig_ref, expw_ref, sumr_ref,
     dt = x_ref.dtype
     x = x_ref[0]
     w = w_ref[0]
-    # recompute TR and wR (VMEM-resident, never in HBM)
-    TR = None
-    for b in range(dsh):
-        xb = x * sh_ref[0][:, b][:, None]
-        c_b = cbig_ref[pl.ds(b * din, din), :]
-        part = jnp.dot(xb, c_b, preferred_element_type=f32)
-        TR = part if TR is None else TR + part
+    # recompute TR and wR (VMEM-resident, never in HBM) — single big-
+    # contraction matmul, same as the forward
+    xcat = jnp.concatenate([x * sh_ref[0][:, b][:, None] for b in range(dsh)],
+                           axis=1)
+    TR = jnp.dot(xcat, cbig_ref[...], preferred_element_type=f32)
     wR = jnp.dot(w, expw_ref[...], preferred_element_type=f32)
 
     dct = dct_ref[0]                                    # [TE, dout]
@@ -115,6 +112,8 @@ def _tp_bwd_kernel(x_ref, sh_ref, w_ref, cbig_ref, expw_ref, sumr_ref,
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=f32
                                     ).astype(dw_ref.dtype)
+    # per-b Db matmuls contract over R (wide — good MXU utilization); a
+    # single Db_full + lane-slices measured SLOWER (unaligned lane slices)
     dx = None
     dsh_cols = []
     dTR_dt = dTR.astype(dt)

@@ -59,6 +59,35 @@ def test_vjp_transpose_identity():
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-5)
 
 
+def test_bf16_payload_exact_and_dtype_preserving():
+    """bf16 payloads take the single-pass MXU path: exact (one-hot rows
+    select single bf16 values, f32 accumulate), gather output keeps the
+    payload dtype, and the VJP cotangent comes back in the primal dtype
+    (the f32-grad-for-bf16-primal bug)."""
+    idx, maskf, nodes, msgs = _data(seed=7)
+    nb, mb = nodes.astype(jnp.bfloat16), msgs.astype(jnp.bfloat16)
+
+    out = EK._pallas_gather(idx, maskf, nb, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(out, np.float32),
+        np.asarray(EK._ref_gather(idx, maskf, nb), np.float32))
+
+    agg = EK._pallas_aggregate(idx, maskf, mb, 40, interpret=True)
+    assert agg.dtype == jnp.bfloat16  # f32 accumulation, payload-dtype out
+    np.testing.assert_allclose(
+        np.asarray(agg, np.float32),
+        np.asarray(EK._ref_aggregate(idx, maskf, mb, 40), np.float32),
+        atol=1e-2, rtol=1e-2)
+
+    g = jax.grad(lambda n: (EK.edge_gather(idx, maskf, n)
+                            .astype(jnp.float32) ** 2).sum())(nb)
+    assert g.dtype == jnp.bfloat16
+    g2 = jax.grad(lambda m: (EK.edge_aggregate(idx, maskf, m, 40) ** 2)
+                  .sum())(mb)
+    assert g2.dtype == jnp.bfloat16
+
+
 def test_gradients_match_autodiff_of_reference():
     idx, maskf, nodes, msgs = _data(seed=4)
 

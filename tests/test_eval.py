@@ -78,6 +78,35 @@ def test_run_ensemble_div(setup):
     assert agg["rmsd"] > 0
 
 
+def test_run_ensemble_fold_matches_sequential(setup):
+    """fold>1 tiles the batch instead of looping members; with a
+    deterministic (rng- and noise-independent) sample_fn the folded and
+    sequential paths must produce identical metrics, and a non-multiple
+    fold must still yield exactly num_ensemble members."""
+    batch, pipeline = setup
+    Bsz = batch["res_type"].shape[0]
+
+    def det_sample(rng, b):  # per-member output depends only on the batch
+        ic, xyz = pipeline.decode(b, jnp.zeros(b["res_type"].shape + (3,)))
+        return ic, xyz
+
+    seq = run_ensemble(pipeline, batch, num_ensemble=5, seed=0,
+                       sample_fn=det_sample)
+    fld = run_ensemble(pipeline, batch, num_ensemble=5, seed=0,
+                       sample_fn=det_sample, fold=3)  # chunks of 3 + 2
+    assert len(fld["per_ensemble"]) == 5
+    for k in seq:
+        if k == "per_ensemble":
+            continue
+        np.testing.assert_allclose(fld[k], seq[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
+    # folded structures keep the per-member [B, ...] shape
+    _, structs = run_ensemble(pipeline, batch, num_ensemble=4, seed=0,
+                              sample_fn=det_sample, fold=2,
+                              return_structures=True)
+    assert structs.shape[0] == 4 and structs.shape[1] == Bsz
+
+
 def test_kabsch_rmsd_invariances():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(2, 50, 3)).astype(np.float32)
