@@ -212,10 +212,21 @@ def _pallas_fused_tp_bwd(x, sh, w, cbig_r, expw, sumr, dct):
 # public API
 
 
+def _flat3(a):
+    """[B, L, S, F] -> [B, L*S, F] (leading-dim merge only)."""
+    return a.reshape(a.shape[0], a.shape[1] * a.shape[2], a.shape[3])
+
+
 @jax.custom_vjp
 def fused_tp(x, sh, w, cbig_r, expw, sumr):
     """Edge-batched fused tensor product: x (din) ⊗ sh (dsh) -> dout with
-    per-edge weights w; tables from nn.tensor_product.fused_tp_tables."""
+    per-edge weights w; tables from nn.tensor_product.fused_tp_tables.
+    4-d operands (the dense atom<->CG cross graphs, [B, L, 14, *]) are
+    flattened to [B, L*14, *] so they ride the same VMEM kernel."""
+    if _use_pallas() and x.ndim == 4:
+        out = _pallas_fused_tp(_flat3(x), _flat3(sh), _flat3(w),
+                               cbig_r, expw, sumr)
+        return out.reshape(x.shape[:3] + (out.shape[-1],))
     if _use_pallas() and x.ndim == 3:
         return _pallas_fused_tp(x, sh, w, cbig_r, expw, sumr)
     return ref_fused_tp(x, sh, w, cbig_r, expw, sumr)
@@ -228,6 +239,12 @@ def _fused_tp_fwd(x, sh, w, cbig_r, expw, sumr):
 
 def _fused_tp_bwd(res, ct):
     x, sh, w, cbig_r, expw, sumr = res
+    if _use_pallas() and x.ndim == 4:
+        dx, dsh, dw = _pallas_fused_tp_bwd(_flat3(x), _flat3(sh), _flat3(w),
+                                           cbig_r, expw, sumr, _flat3(ct))
+        return (dx.reshape(x.shape).astype(x.dtype),
+                dsh.reshape(sh.shape).astype(sh.dtype),
+                dw.reshape(w.shape).astype(w.dtype), None, None, None)
     if _use_pallas() and x.ndim == 3:
         dx, dsh, dw = _pallas_fused_tp_bwd(x, sh, w, cbig_r, expw, sumr, ct)
         return (dx.astype(x.dtype), dsh.astype(sh.dtype), dw.astype(w.dtype),

@@ -87,11 +87,15 @@ class E3Encoder(nn.Module):
         a_edges, a_mask = make_directed_batched(batch["atom_edges"],
                                                 batch["atom_edges_mask"])
         a_ops = make_edge_ops(a_edges, a_mask, NA)
-        r_ij = a_ops.gather_dst(xyz_a) - a_ops.gather_src(xyz_a)
-        atom_sh = sh_l2(r_ij)
+        # one gather per edge side: [xyz | z] payload (4 lanes) — each
+        # extra gather pays a full [TE, NA] one-hot build in the kernel
         zf_e = zf[..., None].astype(xyz.dtype)
+        xyzz = jnp.concatenate([xyz_a, zf_e], axis=-1)                # [B, NA, 4]
+        g_src, g_dst = a_ops.gather_src(xyzz), a_ops.gather_dst(xyzz)
+        r_ij = g_dst[..., :3] - g_src[..., :3]
+        atom_sh = sh_l2(r_ij)
         a_attr = jnp.concatenate([
-            a_ops.gather_src(zf_e), a_ops.gather_dst(zf_e),
+            g_src[..., 3:], g_dst[..., 3:],
             jnp.zeros(r_ij.shape[:2] + (self.in_edge_features,), xyz.dtype),
             GaussianSmearing(0.0, self.atom_max_radius, self.distance_embed_dim)(
                 jnp.sqrt((r_ij**2).sum(-1) + 1e-12)),
@@ -111,11 +115,13 @@ class E3Encoder(nn.Module):
         c_edges, c_mask = make_directed_batched(batch["cg_edges"],
                                                 batch["cg_edges_mask"])
         c_ops = make_edge_ops(c_edges, c_mask, L)
-        r_IJ = c_ops.gather_dst(cg_xyz) - c_ops.gather_src(cg_xyz)
-        cg_sh = sh_l2(r_IJ)
         cgz_e = res_type[..., None].astype(xyz.dtype)
+        cgxz = jnp.concatenate([cg_xyz, cgz_e], axis=-1)              # [B, L, 4]
+        cg_src, cg_dst = c_ops.gather_src(cgxz), c_ops.gather_dst(cgxz)
+        r_IJ = cg_dst[..., :3] - cg_src[..., :3]
+        cg_sh = sh_l2(r_IJ)
         c_attr = jnp.concatenate([
-            c_ops.gather_src(cgz_e), c_ops.gather_dst(cgz_e),
+            cg_src[..., 3:], cg_dst[..., 3:],
             jnp.zeros(r_IJ.shape[:2] + (self.in_edge_features,), xyz.dtype),
             GaussianSmearing(0.0, self.cg_max_radius, self.distance_embed_dim)(
                 jnp.sqrt((r_IJ**2).sum(-1) + 1e-12)),
@@ -144,11 +150,15 @@ class E3Encoder(nn.Module):
                         out_irreps=tuple(out_ir), n_edge_features=3 * ns,
                         hidden_features=3 * ns, residual=False)
 
-            # atom intra-graph messages
+            # atom intra-graph messages; the dst gather runs ONCE — its
+            # scalar prefix feeds the edge attrs, the full width feeds the
+            # conv's tensor product (x_dst)
+            gd_full = a_ops.gather_dst(atom_feat)
             a_attr_full = jnp.concatenate(
                 [a_attr, a_ops.gather_src(atom_feat[..., :ns]),
-                 a_ops.gather_dst(atom_feat[..., :ns])], axis=-1)
-            atom_intra = TPConv(**conv)(atom_feat, a_ops, a_attr_full, atom_sh)
+                 gd_full[..., :ns]], axis=-1)
+            atom_intra = TPConv(**conv)(atom_feat, a_ops, a_attr_full,
+                                        atom_sh, x_dst=gd_full)
 
             # CG -> atom cross messages (dense: one CG parent per atom)
             af4 = atom_feat.reshape(B, L, R.MAX_ATOMS, -1)
@@ -168,10 +178,12 @@ class E3Encoder(nn.Module):
             atom_inter = (atom_inter * amask_f[..., None]).reshape(B, NA, -1)
 
             if l != self.num_conv_layers - 1:
+                cgd_full = c_ops.gather_dst(cg_feat)
                 c_attr_full = jnp.concatenate(
                     [c_attr, c_ops.gather_src(cg_feat[..., :ns]),
-                     c_ops.gather_dst(cg_feat[..., :ns])], axis=-1)
-                cg_intra = TPConv(**conv)(cg_feat, c_ops, c_attr_full, cg_sh)
+                     cgd_full[..., :ns]], axis=-1)
+                cg_intra = TPConv(**conv)(cg_feat, c_ops, c_attr_full,
+                                          cg_sh, x_dst=cgd_full)
                 # atom -> CG: masked mean over the residue's atom slots
                 tp_a2c = FullyConnectedTP(tuple(in_ir), tuple(sh_ir), tuple(out_ir))
                 w2 = nn.Dense(tp_a2c.weight_numel)(nn.relu(nn.Dense(hidden)(cross_full)))

@@ -40,11 +40,14 @@ class CGPrior(nn.Module):
         c_edges, c_mask = make_directed_batched(batch["cg_edges"],
                                                 batch["cg_edges_mask"])
         ops = make_edge_ops(c_edges, c_mask, L)
-        r_IJ = ops.gather_dst(cg_xyz) - ops.gather_src(cg_xyz)
-        cg_sh = sh_l2(r_IJ)
+        # one gather per edge side: [xyz | res_type] payload (4 lanes)
         cgz_e = res_type[..., None].astype(cg_xyz.dtype)
+        cgxz = jnp.concatenate([cg_xyz, cgz_e], axis=-1)
+        g_src, g_dst = ops.gather_src(cgxz), ops.gather_dst(cgxz)
+        r_IJ = g_dst[..., :3] - g_src[..., :3]
+        cg_sh = sh_l2(r_IJ)
         attr = jnp.concatenate([
-            ops.gather_src(cgz_e), ops.gather_dst(cgz_e),
+            g_src[..., 3:], g_dst[..., 3:],
             jnp.zeros(r_IJ.shape[:2] + (self.in_edge_features,), cg_xyz.dtype),
             GaussianSmearing(0.0, self.cg_max_radius, self.distance_embed_dim)(
                 jnp.sqrt((r_IJ**2).sum(-1) + 1e-12)),
@@ -55,13 +58,14 @@ class CGPrior(nn.Module):
 
         for l in range(self.num_conv_layers):
             in_ir, out_ir = ladder[min(l, 3)], ladder[min(l + 1, 3)]
+            gd_full = ops.gather_dst(feat)
             attr_full = jnp.concatenate(
                 [attr, ops.gather_src(feat[..., :ns]),
-                 ops.gather_dst(feat[..., :ns])], axis=-1)
+                 gd_full[..., :ns]], axis=-1)
             update = TPConv(in_irreps=tuple(in_ir), sh_irreps=tuple(sh_ir),
                             out_irreps=tuple(out_ir), n_edge_features=3 * ns,
                             hidden_features=3 * ns, residual=False)(
-                feat, ops, attr_full, cg_sh)
+                feat, ops, attr_full, cg_sh, x_dst=gd_full)
             pad = update.shape[-1] - feat.shape[-1]
             feat = jnp.pad(feat, ((0, 0), (0, 0), (0, pad))) + update
 

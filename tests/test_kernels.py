@@ -333,3 +333,31 @@ def test_pallas_fused_tp_backward():
     for name, a, b in zip("x sh w".split(), got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-3, rtol=1e-3, err_msg=name)
+
+
+def test_pallas_fused_tp_4d_cross_graph():
+    """4-d operands (dense atom<->CG cross graph, [B, L, S, F]) flatten
+    to [B, L*S, F] and ride the VMEM kernel — forward and gradients match
+    the XLA reference twin."""
+    from codlad_tpu.kernels import tp_kernels as TK
+
+    x, sh, w, cbig_r, expw, sumr = _tp_inputs(B=2, E=42, seed=3)
+    to4 = lambda a: a.reshape(2, 7, 6, a.shape[-1])
+    x4, sh4, w4 = map(to4, (x, sh, w))
+
+    want = TK.ref_fused_tp(x4, sh4, w4, cbig_r, expw, sumr)
+
+    def loss(args, f):
+        out = f(*args, cbig_r, expw, sumr)
+        return (out * jnp.cos(0.1 * jnp.arange(out.size).reshape(out.shape))).sum()
+
+    want_g = jax.grad(loss)((x4, sh4, w4), TK.ref_fused_tp)
+    with _force_tp_pallas() as TKf:
+        got = TKf.fused_tp(x4, sh4, w4, cbig_r, expw, sumr)
+        got_g = jax.grad(loss)((x4, sh4, w4), TKf.fused_tp)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+    for name, a, b in zip("x sh w".split(), got_g, want_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3, err_msg=name)
