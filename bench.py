@@ -94,15 +94,26 @@ def main():
             return out.astype(jnp.float32)
         return diffusion.p_sample(rng, model_fn, x, t_idx)[0]
 
-    # host loop over the jitted single step: identical math to the fused
-    # scan (see gen/diffusion.py) with a 100x smaller compile
-    def sample(rng):
+    # the PRODUCTION sampling path: all 100 denoise evals in one lax.scan,
+    # ONE dispatch per ensemble draw.  A host loop over the jitted single
+    # step measured up to ±12% run-to-run variance through the remote
+    # dispatch tunnel (100 round trips/sample); the scan number is the
+    # device's, not the tunnel's.  `step` stays jitted for the MFU cost
+    # analysis below.
+    @jax.jit
+    def sample_scan(rng, p, c):
         rng, sub = jax.random.split(rng)
         x = jax.random.normal(sub, (B, L, 3))
-        for t_idx in reversed(range(DENOISE_STEPS)):
-            rng, sub = jax.random.split(rng)
-            x = step(sub, x, jnp.int32(t_idx), params_bf16, cond_bf16)
-        return x
+
+        def model_fn(x, t, rng, x_self_cond=None):
+            out = model.apply(p, x.astype(jnp.bfloat16), t, c,
+                              deterministic=True, method=MPNNDenoiser.denoise)
+            return out.astype(jnp.float32)
+
+        return diffusion.p_sample_loop(rng, model_fn, x.shape, noise=x)
+
+    def sample(rng):
+        return sample_scan(rng, params_bf16, cond_bf16)
 
     # compile + warmup
     out = sample(jax.random.PRNGKey(0))
@@ -141,7 +152,7 @@ def main():
 
     # ---- end-to-end: denoise -> VQ snap -> IC decode -> Cartesian rebuild
     e2e = _bench_e2e(sample, rng_np=np.random.default_rng(1))
-    e2e_mixed = _bench_e2e_mixed(model, diffusion, params_bf16, step,
+    e2e_mixed = _bench_e2e_mixed(model, diffusion, params_bf16,
                                  rng_np=np.random.default_rng(2))
 
     print(json.dumps({
@@ -238,13 +249,15 @@ def _make_cond_and_batch(rng, L, Bsz):
     return batch
 
 
-def _bench_e2e_mixed(model, diffusion, params_bf16, step, rng_np):
+def _bench_e2e_mixed(model, diffusion, params_bf16, rng_np):
     """Mixed-workload e2e: three length buckets with distinct conditioning
     through the full sample->decode pipeline (the eval harness's real
     shape mix — reference test.py:413-710 loops over proteins of many
-    sizes).  Reports aggregate structures/sec/chip across the sweep.
-    `step` is the headline bench's jitted denoise step (shared so the
-    L=128 bucket reuses its compilation)."""
+    sizes).  Reports aggregate structures/sec/chip across the sweep; each
+    bucket samples through the fused 100-step scan (one dispatch per
+    draw)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -282,12 +295,21 @@ def _bench_e2e_mixed(model, diffusion, params_bf16, step, rng_np):
             batch["res_mask"])
         buckets.append((L, batch, jax.tree.map(cast, cond)))
 
-    def run_bucket(key, L, batch, cond):
+    @functools.partial(jax.jit, static_argnames=("L",))
+    def sample_bucket(key, p, cond, L):
         key, sub = jax.random.split(key)
         x = jax.random.normal(sub, (B, L, 3))
-        for t_idx in reversed(range(DENOISE_STEPS)):
-            key, sub = jax.random.split(key)
-            x = step(sub, x, jnp.int32(t_idx), params_bf16, cond)
+
+        def model_fn(x, t, rng, x_self_cond=None):
+            out = model.apply(p, x.astype(jnp.bfloat16), t, cond,
+                              deterministic=True,
+                              method=MPNNDenoiser.denoise)
+            return out.astype(jnp.float32)
+
+        return diffusion.p_sample_loop(key, model_fn, x.shape, noise=x)
+
+    def run_bucket(key, L, batch, cond):
+        x = sample_bucket(key, params_bf16, cond, L)
         return decode(vae_params, vq_state, batch, x)
 
     # warm up every bucket's compilations, then time the full sweep
