@@ -90,7 +90,8 @@ def _tp_fwd_kernel(x_ref, sh_ref, w_ref, cbig_ref, expw_ref, sumr_ref,
 
 
 def _tp_bwd_kernel(x_ref, sh_ref, w_ref, cbig_ref, expw_ref, sumr_ref,
-                   dct_ref, dx_ref, dsh_ref, dw_ref, *, dsh, din):
+                   sumf_ref, bd_ref, dct_ref, dx_ref, dsh_ref, dw_ref,
+                   *, dsh, din):
     f32 = jnp.float32
     dt = x_ref.dtype
     x = x_ref[0]
@@ -112,21 +113,24 @@ def _tp_bwd_kernel(x_ref, sh_ref, w_ref, cbig_ref, expw_ref, sumr_ref,
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=f32
                                     ).astype(dw_ref.dtype)
-    # per-b Db matmuls contract over R (wide — good MXU utilization); a
-    # single Db_full + lane-slices measured SLOWER (unaligned lane slices)
-    dx = None
-    dsh_cols = []
-    dTR_dt = dTR.astype(dt)
-    for b in range(dsh):
-        c_b = cbig_ref[pl.ds(b * din, din), :]
-        Db = jax.lax.dot_general(dTR_dt, c_b, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=f32)  # [TE, din]
-        sh_b = sh_ref[0][:, b][:, None]
-        contrib = sh_b.astype(f32) * Db
-        dx = contrib if dx is None else dx + contrib
-        dsh_cols.append((x.astype(f32) * Db).sum(axis=1, keepdims=True))
-    dx_ref[0] = dx.astype(dx_ref.dtype)
-    dsh_ref[0] = jnp.concatenate(dsh_cols, axis=1).astype(dsh_ref.dtype)
+    # Db9 = dTR @ CBIG^T in ONE matmul (contraction over wide R), consumed
+    # whole — no unaligned lane slices (a sliced variant measured slower),
+    # no per-b loop, and the dsh row-dots become an MXU matmul against a
+    # block-ones table instead of 9 VPU cross-lane reductions:
+    #   dx[e,f]  = sum_b sh[e,b] * Db9[e, b*din+f]   -> (shcat*Db9) @ SUMF
+    #   dsh[e,b] = sum_f x[e,f]  * Db9[e, b*din+f]   -> (xtile*Db9) @ BD
+    TE = x.shape[0]
+    Db9 = jax.lax.dot_general(dTR.astype(dt), cbig_ref[...],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)  # [TE, dsh*din]
+    shcat = jnp.concatenate(
+        [jnp.broadcast_to(sh_ref[0][:, b][:, None], (TE, din))
+         for b in range(dsh)], axis=1).astype(f32)
+    xtile = jnp.concatenate([x.astype(f32)] * dsh, axis=1)
+    dx_ref[0] = jnp.dot((shcat * Db9).astype(dt), sumf_ref[...],
+                        preferred_element_type=f32).astype(dx_ref.dtype)
+    dsh_ref[0] = jnp.dot((xtile * Db9).astype(dt), bd_ref[...],
+                         preferred_element_type=f32).astype(dsh_ref.dtype)
 
 
 def _pad_e(arrs, E, tile):
@@ -172,6 +176,18 @@ def _pallas_fused_tp(x, sh, w, cbig_r, expw, sumr):
     return out[:, :E]
 
 
+@functools.lru_cache(maxsize=None)
+def _bwd_sum_tables(dsh, din):
+    """SUMF [dsh*din, din]: sums the b-blocks of Db9 into dx columns;
+    BD [dsh*din, dsh]: block-ones turning per-row dots into a matmul."""
+    sumf = np.zeros((dsh * din, din), np.float32)
+    bd = np.zeros((dsh * din, dsh), np.float32)
+    for b in range(dsh):
+        sumf[b * din:(b + 1) * din, :] = np.eye(din, dtype=np.float32)
+        bd[b * din:(b + 1) * din, b] = 1.0
+    return sumf, bd
+
+
 def _pallas_fused_tp_bwd(x, sh, w, cbig_r, expw, sumr, dct):
     B, E, din = x.shape
     dsh = sh.shape[-1]
@@ -181,6 +197,8 @@ def _pallas_fused_tp_bwd(x, sh, w, cbig_r, expw, sumr, dct):
     dt = x.dtype
     (x, sh, w, dct), EP = _pad_e([x, sh, w, dct], E, _TILE_E)
     grid = (B, EP // _TILE_E)
+    sumf_np, bd_np = _bwd_sum_tables(dsh, din)
+    sumf, bd = jnp.asarray(sumf_np, dt), jnp.asarray(bd_np, dt)
 
     dx, dsh_out, dw = pl.pallas_call(
         functools.partial(_tp_bwd_kernel, dsh=dsh, din=din),
@@ -192,6 +210,8 @@ def _pallas_fused_tp_bwd(x, sh, w, cbig_r, expw, sumr, dct):
             pl.BlockSpec((dsh * din, R), lambda b, e: (0, 0)),
             pl.BlockSpec((numel, R), lambda b, e: (0, 0)),
             pl.BlockSpec((R, dout), lambda b, e: (0, 0)),
+            pl.BlockSpec((dsh * din, din), lambda b, e: (0, 0)),
+            pl.BlockSpec((dsh * din, dsh), lambda b, e: (0, 0)),
             pl.BlockSpec((1, _TILE_E, dout), lambda b, e: (b, e, 0)),
         ],
         out_specs=[
@@ -204,7 +224,7 @@ def _pallas_fused_tp_bwd(x, sh, w, cbig_r, expw, sumr, dct):
                    jax.ShapeDtypeStruct((B, EP, numel), dt)],
         cost_estimate=_tp_cost(B, EP, din, dsh, numel, R, dout),
     )(x, sh.astype(dt), w.astype(dt), cbig_r.astype(dt), expw.astype(dt),
-      sumr.astype(dt), dct.astype(dt))
+      sumr.astype(dt), sumf, bd, dct.astype(dt))
     return dx[:, :E], dsh_out[:, :E], dw[:, :E]
 
 
