@@ -65,6 +65,13 @@ def build_parser():
     p.add_argument("--bf16", action="store_true", default=False,
                    help="mixed-precision training: bf16 network forward "
                         "over f32 master params (diffusion math stays f32)")
+    p.add_argument("--fast_rng", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="use the TPU-native 'rbg' PRNG for dropout masks "
+                        "(threefry generation of the [B,L,K,H] masks costs "
+                        "~4.4 ms/layer/step on v5e; rbg lowers to the "
+                        "hardware RNG).  --no-fast_rng restores threefry "
+                        "for bit-exact reproducibility with older runs")
     p.add_argument("--adaln_mode", type=str, default="trunk",
                    choices=["trunk", "residual"],
                    help="'trunk' reproduces the reference adaLN (zero-init "
@@ -175,6 +182,11 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if getattr(args, "fast_rng", False):
+        # must be set before any key is created
+        jax.config.update("jax_default_prng_impl", "rbg")
+
     import jax.numpy as jnp
     import optax
 
@@ -208,6 +220,12 @@ def main(argv=None):
     mesh = mesh_mod.make_mesh(n_dev)
     logger.info(f"data-parallel over {n_dev} device(s), "
                 f"process {pidx}/{pcount}")
+    if n_dev > 1:
+        # batch-partitioned Pallas execution: without this, GSPMD
+        # all-gathers the kernels' operands and runs them replicated on
+        # every chip (kernels/mpnn_kernels.py:set_kernel_mesh)
+        from codlad_tpu.kernels.mpnn_kernels import set_kernel_mesh
+        set_kernel_mesh(mesh)
 
     if args.stats_name:
         mean, std = load_stats(args.stats_dir, args.stats_name)

@@ -74,7 +74,14 @@ def build_parser():
     p.add_argument("-codebook_temp", type=float, default=0.25)
     p.add_argument("-codebook_ema_decay", type=float, default=0.99)
     p.add_argument("-max_epochs_no_improve", type=int, default=20)
-    p.add_argument("-mix_batches", action=argparse.BooleanOptionalAction,
+    p.add_argument("-fast_rng", "--fast_rng",
+                   action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="use the TPU-native 'rbg' PRNG (hardware RNG) "
+                        "instead of threefry; --no-fast_rng restores "
+                        "threefry for bit-exact reproducibility")
+    p.add_argument("-mix_batches", "--mix_batches",
+                   action=argparse.BooleanOptionalAction,
                    default=True,
                    help="pool frames across proteins within a compilation "
                         "bucket so batches mix proteins (the reference "
@@ -87,6 +94,11 @@ def main(argv=None):
     args = parse_with_json(build_parser(), argv)
 
     import jax
+
+    if getattr(args, "fast_rng", False):
+        # must be set before any key is created
+        jax.config.update("jax_default_prng_impl", "rbg")
+
     import jax.numpy as jnp
     import optax
 

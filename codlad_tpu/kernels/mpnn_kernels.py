@@ -49,6 +49,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.sharding import PartitionSpec as P
 
 try:  # pltpu only exists with TPU support compiled in
     from jax.experimental.pallas import tpu as pltpu
@@ -93,6 +94,75 @@ def _use_pallas_bwd():
 
 
 # ---------------------------------------------------------------------------
+# multi-chip: batch-partitioned kernel execution
+#
+# GSPMD has no partitioning rule for pallas_call: under a jit with
+# batch-sharded operands it ALL-GATHERS the [B, L, K, H] tensors and runs
+# every kernel fully replicated on every chip — silently destroying data-
+# parallel scaling for exactly the compute the kernels exist to speed up
+# (verified on the 8-device CPU mesh: the lowered HLO contains all-gathers
+# and a replicated output).  The fix: trainers register their mesh here
+# and every fused op shard_maps its Pallas branch over the batch axis —
+# kernels run on LOCAL shards, weight gradients are psum'd over ICI (the
+# one collective DP actually needs), and batch-dim outputs stay sharded.
+
+_KERNEL_MESH = None  # (Mesh, batch axis name) | None
+
+
+def set_kernel_mesh(mesh, axis="data"):
+    """Register (or clear, with None) the mesh for batch-partitioned
+    kernel execution.  Call once at trainer startup, BEFORE the jitted
+    step first traces; single-chip and non-TPU runs need not call it."""
+    global _KERNEL_MESH
+    _KERNEL_MESH = None if mesh is None else (mesh, axis)
+
+
+def _shard_batched(impl, batch_flags, out_psum_flags=None):
+    """Wrap a pallas wrapper `impl` in shard_map over the registered mesh.
+
+    batch_flags[i]: operand i is batch-leading (sharded on the data axis);
+    otherwise replicated (weights).  out_psum_flags: None -> every output
+    batch-leading; else a tuple where True marks per-shard PARTIAL sums
+    (weight grads) that are psum'd over the axis and returned replicated.
+    """
+    if _KERNEL_MESH is None:
+        return impl
+    mesh, axis = _KERNEL_MESH
+    shard_map = functools.partial(jax.shard_map, check_vma=False)
+
+    in_specs = tuple(P(axis) if f else P() for f in batch_flags)
+    if out_psum_flags is None:
+        out_specs = P(axis)
+    else:
+        out_specs = tuple(P() if f else P(axis) for f in out_psum_flags)
+
+    def body(*args):
+        out = impl(*args)
+        if out_psum_flags is None:
+            return out
+        return tuple(jax.lax.psum(o, axis) if f else o
+                     for o, f in zip(out, out_psum_flags))
+
+    def wrapped(*args):
+        # drop literal-None operands (onehot mode): rebuild the call with
+        # the Nones pinned and the specs filtered
+        live = [i for i, a in enumerate(args) if a is not None]
+        specs = tuple(in_specs[i] for i in live)
+
+        def live_body(*live_args):
+            full = list(args)
+            for i, a in zip(live, live_args):
+                full[i] = a
+            return body(*full)
+
+        return shard_map(live_body, mesh=mesh, in_specs=specs,
+                         out_specs=out_specs)(
+            *(args[i] for i in live))
+
+    return wrapped
+
+
+# ---------------------------------------------------------------------------
 # reference implementations (ground truth + non-TPU fallback)
 
 
@@ -119,8 +189,10 @@ def _ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale):
 
 
 def _ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
-                            sh, sc, g, eps=1e-6):
+                            sh, sc, g, eps=1e-6, keep=None):
     msg = _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3)
+    if keep is not None:
+        msg = msg * keep.astype(msg.dtype)
     resid = (E + msg.astype(E.dtype)).astype(jnp.float32)
     mean = resid.mean(axis=-1, keepdims=True)
     var = ((resid - mean) ** 2).mean(axis=-1, keepdims=True)
@@ -132,6 +204,19 @@ def _ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
 
 # ---------------------------------------------------------------------------
 # shared in-kernel helpers
+
+
+def _inkernel_keep(seed_ref, drop_p, n_rows, H):
+    """Dropout keep-scales (0 or 1/(1-p)) generated from the TPU hardware
+    PRNG — no HBM mask operand, no XLA-side mask generation.  Seeded from
+    the per-sample seed + the L-tile id, so the BACKWARD kernel (same
+    grid, same tile size) regenerates the identical mask.  NOTE: plain
+    interpret mode stubs prng_random_bits to zeros (=> everything
+    dropped); real-bit validation lives in scripts/check_pdrop_tpu.py."""
+    pltpu.prng_seed(seed_ref[pl.program_id(0)], pl.program_id(1))
+    bits = pltpu.bitcast(pltpu.prng_random_bits((n_rows, H)), jnp.uint32)
+    thresh = np.uint32(min(int(drop_p * 2.0 ** 32), 2 ** 32 - 1))
+    return (bits >= thresh).astype(jnp.float32) / (1.0 - drop_p)
 
 
 def _selection(sel_ref, L, dtype, has_oh):
@@ -206,8 +291,17 @@ def _edge_kernel(sel_ref, a_ref, e_ref, g_ref, we_ref, w2_ref, b2_ref,
 
 
 def _edge_lnmod_kernel(sel_ref, a_ref, e_ref, g_ref, we_ref, w2_ref, b2_ref,
-                       w3_ref, b3_ref, sh_ref, sc_ref, gate_ref, out_ref,
-                       *, has_oh):
+                       w3_ref, b3_ref, sh_ref, sc_ref, gate_ref, *rest,
+                       has_oh, has_keep=False, drop_p=0.0, debug_mask=False):
+    mask_out_ref = None
+    if has_keep:
+        keep_ref, out_ref = rest
+    elif drop_p > 0.0 and debug_mask:
+        seed_ref, out_ref, mask_out_ref = rest
+    elif drop_p > 0.0:
+        seed_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     TL, K, H = e_ref.shape[1], e_ref.shape[2], e_ref.shape[3]
     L = g_ref.shape[1]
     f32 = jnp.float32
@@ -217,6 +311,15 @@ def _edge_lnmod_kernel(sel_ref, a_ref, e_ref, g_ref, we_ref, w2_ref, b2_ref,
     _, _, h2 = _chain_fwd(a_ref, e_ref, oh, g_ref, we_ref, w2_ref, b2_ref)
     x = jnp.dot(h2.astype(dt), w3_ref[...],
                 preferred_element_type=f32) + b3_ref[...].astype(f32)
+    if has_keep:
+        # dropout fused into the epilogue: keep holds 0 / 1/(1-p) scales
+        x = x * keep_ref[0].reshape(TL * K, H).astype(f32)
+    elif drop_p > 0.0:
+        # dropout mask generated IN VMEM from the hardware PRNG
+        keep = _inkernel_keep(seed_ref, drop_p, TL * K, H)
+        x = x * keep
+        if mask_out_ref is not None:
+            mask_out_ref[0] = keep.reshape(TL, K, H)
     e = e_ref[0].reshape(TL * K, H)
     resid = e.astype(f32) + x
     mean = resid.mean(axis=-1, keepdims=True)
@@ -322,28 +425,58 @@ def _pallas_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
       W_e.astype(dt), W2.astype(dt), b2, W3.astype(dt), b3)
 
 
+def _pdrop_tile(L, K, H):
+    """Shared fwd/bwd tile for the in-kernel-PRNG dropout variant: the
+    mask is regenerated per (sample, tile) seed, so the grids MUST match
+    for the backward to reproduce the forward's bits.  Sized for the
+    backward's working set (the larger of the two)."""
+    return _tile_rows(L, K, H, bytes_per_edge_elem=30)
+
+
 def _pallas_message_edge_lnmod(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3,
-                               sh, sc, g):
+                               sh, sc, g, keep=None, seeds=None, drop_p=0.0,
+                               debug_mask=False):
     B, L, K, H = E.shape
-    TL = _tile_rows(L, K, H)
+    if seeds is not None:
+        TL = _pdrop_tile(L, K, H)
+    else:
+        TL = _tile_rows(L, K, H,
+                        bytes_per_edge_elem=14 if keep is not None else 12)
     grid = (B, L // TL)
     dt = E.dtype
     sel, sel_spec, has_oh = _sel_operand(idx, onehot, dt, TL)
 
     mod_spec = pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0))
+    edge_spec = pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0))
+    extra_ops, extra_specs = [], []
+    if keep is not None:
+        extra_ops = [keep.astype(dt)]
+        extra_specs = [edge_spec]
+    elif seeds is not None:
+        extra_ops = [seeds.astype(jnp.int32)]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    out_specs = edge_spec
+    out_shape = jax.ShapeDtypeStruct((B, L, K, H), E.dtype)
+    if debug_mask:
+        out_specs = [edge_spec, edge_spec]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B, L, K, H), jnp.float32)]
     return pl.pallas_call(
-        functools.partial(_edge_lnmod_kernel, has_oh=has_oh),
+        functools.partial(_edge_lnmod_kernel, has_oh=has_oh,
+                          has_keep=keep is not None,
+                          drop_p=drop_p if seeds is not None else 0.0,
+                          debug_mask=debug_mask),
         grid=grid,
         in_specs=([sel_spec] + _common_specs(TL, K, H, L) + _weight_specs(H)
-                  + [mod_spec, mod_spec, mod_spec]),
-        out_specs=pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, L, K, H), E.dtype),
+                  + [mod_spec, mod_spec, mod_spec] + extra_specs),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=_chain_cost(B, L, K, H, TL,
                                   epilogue_elems=B * L * K * H),
     )(sel, A.astype(dt), E, Gn.astype(dt),
       W_e.astype(dt), W2.astype(dt), b2, W3.astype(dt), b3,
       sh.astype(dt)[:, None, :], sc.astype(dt)[:, None, :],
-      g.astype(dt)[:, None, :])
+      g.astype(dt)[:, None, :], *extra_ops)
 
 
 # ---------------------------------------------------------------------------
@@ -486,10 +619,17 @@ def _edge_bwd_kernel(sel_ref, a_ref, e_ref, g_ref, we_ref, w2_ref, b2_ref,
 
 
 def _edge_lnmod_bwd_kernel(sel_ref, a_ref, e_ref, g_ref, we_ref, w2_ref,
-                           b2_ref, w3_ref, b3_ref, sc_ref, gate_ref, dout_ref,
-                           da_ref, de_ref, dgn_ref, dwe_ref, dw2_ref,
-                           db2_ref, dw3_ref, db3_ref, dsh_ref, dsc_ref,
-                           dgate_ref, *, has_oh):
+                           b2_ref, w3_ref, b3_ref, sc_ref, gate_ref, *rest,
+                           has_oh, has_keep=False, drop_p=0.0):
+    seed_ref = None
+    if has_keep or drop_p > 0.0:
+        (keep_ref, dout_ref, da_ref, de_ref, dgn_ref, dwe_ref, dw2_ref,
+         db2_ref, dw3_ref, db3_ref, dsh_ref, dsc_ref, dgate_ref) = rest
+        if drop_p > 0.0:
+            seed_ref, keep_ref = keep_ref, None
+    else:
+        (dout_ref, da_ref, de_ref, dgn_ref, dwe_ref, dw2_ref, db2_ref,
+         dw3_ref, db3_ref, dsh_ref, dsc_ref, dgate_ref) = rest
     TL, K, H = e_ref.shape[1], e_ref.shape[2], e_ref.shape[3]
     L = g_ref.shape[1]
     f32 = jnp.float32
@@ -502,6 +642,15 @@ def _edge_lnmod_bwd_kernel(sel_ref, a_ref, e_ref, g_ref, we_ref, w2_ref,
     pre, x2, h2 = _chain_fwd(a_ref, e_ref, oh, g_ref, we_ref, w2_ref, b2_ref)
     x = jnp.dot(h2.astype(dt), w3_ref[...],
                 preferred_element_type=f32) + b3_ref[...].astype(f32)
+    keep = None
+    if has_keep:
+        keep = keep_ref[0].reshape(TL * K, H).astype(f32)
+        x = x * keep
+    elif drop_p > 0.0:
+        # regenerate the forward's mask: same per-(sample, tile) seed,
+        # same grid/tile size (_pdrop_tile), same generated shape
+        keep = _inkernel_keep(seed_ref, drop_p, TL * K, H)
+        x = x * keep
     e = e_ref[0].reshape(TL * K, H)
     resid = e.astype(f32) + x
     mean = resid.mean(axis=-1, keepdims=True)
@@ -530,7 +679,9 @@ def _edge_lnmod_bwd_kernel(sel_ref, a_ref, e_ref, g_ref, we_ref, w2_ref,
     m1 = dln.mean(axis=-1, keepdims=True)
     m2 = (dln * ln).mean(axis=-1, keepdims=True)
     dresid = r * (dln - m1 - ln * m2)
-    _edge_bwd_core(pre, x2, h2, e, oh, we_ref, w2_ref, w3_ref, dresid,
+    # resid = e + keep*msg: the chain sees dresid*keep, e sees dresid
+    dmsg = dresid * keep if keep is not None else dresid
+    _edge_bwd_core(pre, x2, h2, e, oh, we_ref, w2_ref, w3_ref, dmsg,
                    da_ref, de_ref, dgn_ref, dwe_ref,
                    dw2_ref, db2_ref, dw3_ref, db3_ref, TL, K, H,
                    de_extra=dresid)
@@ -617,22 +768,36 @@ def _pallas_edge_bwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, dout):
 
 
 def _pallas_edge_lnmod_bwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3,
-                           sc, g, dout):
+                           sc, g, dout, keep=None, seeds=None, drop_p=0.0):
     B, L, K, H = E.shape
-    TL = _bwd_tile(L, K, H)
+    if seeds is not None:
+        TL = _pdrop_tile(L, K, H)
+    elif keep is not None:
+        TL = _tile_rows(L, K, H, bytes_per_edge_elem=28)
+    else:
+        TL = _bwd_tile(L, K, H)
     dt = E.dtype
     sel, sel_spec, has_oh = _sel_operand(idx, onehot, dt, TL)
     d_specs, d_shapes = _bwd_data_outs(B, L, K, H, TL, dt)
     w_specs, w_shapes = _bwd_weight_outs(H)
     mod_spec = pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0))
     mod_shape = jax.ShapeDtypeStruct((B, 1, H), jnp.float32)
+    edge_spec = pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0))
+    extra_ops, extra_specs = [], []
+    if keep is not None:
+        extra_ops = [keep.astype(dt)]
+        extra_specs = [edge_spec]
+    elif seeds is not None:
+        extra_ops = [seeds.astype(jnp.int32)]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     return pl.pallas_call(
-        functools.partial(_edge_lnmod_bwd_kernel, has_oh=has_oh),
+        functools.partial(_edge_lnmod_bwd_kernel, has_oh=has_oh,
+                          has_keep=keep is not None,
+                          drop_p=drop_p if seeds is not None else 0.0),
         grid=(B, L // TL),
         in_specs=([sel_spec] + _common_specs(TL, K, H, L)
                   + _weight_specs(H)
-                  + [mod_spec, mod_spec,
-                     pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0))]),
+                  + [mod_spec, mod_spec] + extra_specs + [edge_spec]),
         out_specs=d_specs + w_specs + [mod_spec, mod_spec, mod_spec],
         out_shape=d_shapes + w_shapes + [mod_shape, mod_shape, mod_shape],
         cost_estimate=_chain_cost(B, L, K, H, TL,
@@ -640,7 +805,7 @@ def _pallas_edge_lnmod_bwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3,
     )(sel, A.astype(dt), E, Gn.astype(dt),
       W_e.astype(dt), W2.astype(dt), b2, W3.astype(dt), b3,
       sc.astype(dt)[:, None, :], g.astype(dt)[:, None, :],
-      dout)
+      *extra_ops, dout)
 
 
 # ---------------------------------------------------------------------------
@@ -660,8 +825,10 @@ def fused_message_sum(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3,
     the precomputed selection matrix — fastest when provided (its DMA
     overlaps the MXU); without it the kernels iota-build it in VMEM."""
     if _use_pallas():
-        return _pallas_message_sum(A, E, Gn, idx, onehot, mask, W_e, W2,
-                                   b2, W3, b3, scale)
+        impl = _shard_batched(
+            lambda *a: _pallas_message_sum(*a, scale),
+            (1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0))
+        return impl(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3)
     return _ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3, scale)
 
 
@@ -675,7 +842,10 @@ def _sum_bwd(res, g):
     A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3, scale = res
     gs = g / scale
     if _use_pallas_bwd():
-        dA, dE, dGn, dWe, dW2, db2, dW3, db3 = _pallas_sum_bwd(
+        impl = _shard_batched(_pallas_sum_bwd,
+                              (1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 1),
+                              out_psum_flags=(0, 0, 0, 1, 1, 1, 1, 1))
+        dA, dE, dGn, dWe, dW2, db2, dW3, db3 = impl(
             A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, gs)
         return (_cast_like(dA, A), _cast_like(dE, E), _cast_like(dGn, Gn),
                 None, None, None, _cast_like(dWe, W_e), _cast_like(dW2, W2),
@@ -699,8 +869,9 @@ fused_message_sum.defvjp(_sum_fwd, _sum_bwd)
 def fused_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
     """Unsummed message chain -> [B, L, K, H] (input dtype)."""
     if _use_pallas():
-        return _pallas_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2,
-                                    W3, b3)
+        impl = _shard_batched(_pallas_message_edge,
+                              (1, 1, 1, 1, 1, 0, 0, 0, 0, 0))
+        return impl(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3)
     return _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3).astype(E.dtype)
 
 
@@ -712,7 +883,10 @@ def _edge_fwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
 def _edge_bwd(res, g):
     A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3 = res
     if _use_pallas_bwd():
-        dA, dE, dGn, dWe, dW2, db2, dW3, db3 = _pallas_edge_bwd(
+        impl = _shard_batched(_pallas_edge_bwd,
+                              (1, 1, 1, 1, 1, 0, 0, 0, 0, 1),
+                              out_psum_flags=(0, 0, 0, 1, 1, 1, 1, 1))
+        dA, dE, dGn, dWe, dW2, db2, dW3, db3 = impl(
             A, E, Gn, idx, onehot, W_e, W2, b2, W3, g)
         return (_cast_like(dA, A), _cast_like(dE, E), _cast_like(dGn, Gn),
                 None, None, _cast_like(dWe, W_e), _cast_like(dW2, W2),
@@ -735,8 +909,9 @@ def fused_message_edge_lnmod(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3,
     """Edge chain + residual + LayerNorm + adaLN modulate/gate in one pass
     -> the encoder layer's updated h_E [B, L, K, H]."""
     if _use_pallas():
-        return _pallas_message_edge_lnmod(A, E, Gn, idx, onehot, W_e, W2,
-                                          b2, W3, b3, sh, sc, g)
+        impl = _shard_batched(_pallas_message_edge_lnmod,
+                              (1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 1, 1))
+        return impl(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g)
     return _ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
                                    sh, sc, g)
 
@@ -747,12 +922,160 @@ def _edge_lnmod_fwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g):
     return out, (A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g)
 
 
+@jax.custom_vjp
+def fused_message_edge_lnmod_drop(A, E, Gn, idx, onehot, W_e, W2, b2, W3,
+                                  b3, sh, sc, g, keep):
+    """The lnmod chain with dropout fused into the epilogue:
+    gate * modulate(LN(E + keep * msg), sh, sc).  `keep` [B, L, K, H]
+    holds 0 / 1/(1-p) scales — the training path's h_E update runs the
+    SAME fused kernel as inference instead of falling back to XLA
+    dropout + LN + modulate over three [B, L, K, H] HBM passes."""
+    if _use_pallas():
+        impl = _shard_batched(
+            lambda *a: _pallas_message_edge_lnmod(*a[:13], keep=a[13]),
+            (1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 1, 1, 1))
+        return impl(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g,
+                    keep)
+    return _ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
+                                   sh, sc, g, keep=keep)
+
+
+def _edge_lnmod_drop_fwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3,
+                         sh, sc, g, keep):
+    out = fused_message_edge_lnmod_drop(A, E, Gn, idx, onehot, W_e, W2, b2,
+                                        W3, b3, sh, sc, g, keep)
+    return out, (A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g, keep)
+
+
+def _edge_lnmod_drop_bwd(res, ct):
+    A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g, keep = res
+    if _use_pallas_bwd():
+        impl = _shard_batched(
+            lambda *a: _pallas_edge_lnmod_bwd(*a[:13], keep=a[13]),
+            (1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 1, 1, 1),
+            out_psum_flags=(0, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0))
+        (dA, dE, dGn, dWe, dW2, db2, dW3, db3, dsh, dsc, dg) = impl(
+            A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sc, g, ct, keep)
+        dct_sum = ct.astype(jnp.float32).sum(axis=(1, 2))
+        dg_full = dg[:, 0, :] + dct_sum * sh.astype(jnp.float32)
+        return (_cast_like(dA, A), _cast_like(dE, E), _cast_like(dGn, Gn),
+                None, None, _cast_like(dWe, W_e), _cast_like(dW2, W2),
+                _cast_like(db2[0], b2), _cast_like(dW3, W3),
+                _cast_like(db3[0], b3), _cast_like(dsh[:, 0, :], sh),
+                _cast_like(dsc[:, 0, :], sc), _cast_like(dg_full, g), None)
+    _, vjp = jax.vjp(
+        lambda A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g:
+        _ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
+                                sh, sc, g, keep=keep),
+        A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g)
+    dA, dE, dGn, dWe, dW2, db2, dW3, db3, dsh, dsc, dg = vjp(ct)
+    return (dA, dE, dGn, None, None, dWe, dW2, db2, dW3, db3, dsh, dsc,
+            dg, None)
+
+
+fused_message_edge_lnmod_drop.defvjp(_edge_lnmod_drop_fwd,
+                                     _edge_lnmod_drop_bwd)
+
+
+def _host_keep(seeds, shape, p, dtype):
+    """Non-TPU fallback mask: per-sample threefry keys derived from the
+    int32 seeds.  Deterministic given seeds (so this VJP's replay matches
+    its own forward), but NOT bit-identical to the TPU hardware PRNG —
+    dropout masks are not portable across backends, like every framework."""
+    base = jax.random.PRNGKey(0)
+    draw = lambda s: jax.random.bernoulli(jax.random.fold_in(base, s),
+                                          1.0 - p, shape[1:])
+    return jax.vmap(draw)(seeds).astype(dtype) / (1.0 - p)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pdrop_impl(p, A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g,
+                seeds):
+    if _use_pallas():
+        impl = _shard_batched(
+            lambda *a: _pallas_message_edge_lnmod(*a[:13], seeds=a[13],
+                                                  drop_p=p),
+            (1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 1, 1, 1))
+        return impl(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g,
+                    seeds)
+    keep = _host_keep(seeds, E.shape, p, E.dtype)
+    return _ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
+                                   sh, sc, g, keep=keep)
+
+
+def _pdrop_fwd(p, A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g,
+               seeds):
+    out = _pdrop_impl(p, A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3,
+                      sh, sc, g, seeds)
+    return out, (A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g,
+                 seeds)
+
+
+def _pdrop_bwd(p, res, ct):
+    A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g, seeds = res
+    if _use_pallas_bwd():
+        impl = _shard_batched(
+            lambda *a: _pallas_edge_lnmod_bwd(*a[:13], seeds=a[13],
+                                              drop_p=p),
+            (1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 1, 1, 1),
+            out_psum_flags=(0, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0))
+        (dA, dE, dGn, dWe, dW2, db2, dW3, db3, dsh, dsc, dg) = impl(
+            A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sc, g, ct, seeds)
+        dct_sum = ct.astype(jnp.float32).sum(axis=(1, 2))
+        dg_full = dg[:, 0, :] + dct_sum * sh.astype(jnp.float32)
+        return (_cast_like(dA, A), _cast_like(dE, E), _cast_like(dGn, Gn),
+                None, None, _cast_like(dWe, W_e), _cast_like(dW2, W2),
+                _cast_like(db2[0], b2), _cast_like(dW3, W3),
+                _cast_like(db3[0], b3), _cast_like(dsh[:, 0, :], sh),
+                _cast_like(dsc[:, 0, :], sc), _cast_like(dg_full, g), None)
+    keep = _host_keep(seeds, E.shape, p, E.dtype)
+    _, vjp = jax.vjp(
+        lambda A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g:
+        _ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
+                                sh, sc, g, keep=keep),
+        A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g)
+    dA, dE, dGn, dWe, dW2, db2, dW3, db3, dsh, dsc, dg = vjp(ct)
+    return (dA, dE, dGn, None, None, dWe, dW2, db2, dW3, db3, dsh, dsc,
+            dg, None)
+
+
+_pdrop_impl.defvjp(_pdrop_fwd, _pdrop_bwd)
+
+
+def fused_message_edge_lnmod_pdrop(A, E, Gn, idx, onehot, W_e, W2, b2, W3,
+                                   b3, sh, sc, g, seeds, p):
+    """The lnmod chain with dropout whose mask NEVER exists outside the
+    kernel: per-sample int32 `seeds` [B] feed the TPU hardware PRNG
+    (pltpu.prng_seed + prng_random_bits), the forward generates keep
+    scales in VMEM, and the backward — same grid, same `_pdrop_tile` —
+    regenerates the identical bits.  Vs the HBM keep-mask variant this
+    removes the [B, L, K, H] mask generation AND its three HBM passes
+    (write + fwd read + bwd read).  TPU-bit validation:
+    scripts/check_pdrop_tpu.py (interpret mode stubs the PRNG to zeros).
+
+    p is a static Python float (the module's dropout rate)."""
+    return _pdrop_impl(float(p), A, E, Gn, idx, onehot, W_e, W2, b2, W3,
+                       b3, sh, sc, g, seeds)
+
+
+def edge_lnmod_pdrop_debug(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3,
+                           sh, sc, g, seeds, p):
+    """(out, keep_mask) from the forward kernel — the mask the hardware
+    PRNG actually generated, for validation only (TPU backends)."""
+    return _pallas_message_edge_lnmod(A, E, Gn, idx, onehot, W_e, W2, b2,
+                                      W3, b3, sh, sc, g, seeds=seeds,
+                                      drop_p=float(p), debug_mask=True)
+
+
 def _edge_lnmod_bwd(res, ct):
     A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g = res
     if _use_pallas_bwd():
-        (dA, dE, dGn, dWe, dW2, db2, dW3, db3, dsh, dsc, dg) = \
-            _pallas_edge_lnmod_bwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3,
-                                   b3, sc, g, ct)
+        impl = _shard_batched(
+            _pallas_edge_lnmod_bwd,
+            (1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 1, 1),
+            out_psum_flags=(0, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0))
+        (dA, dE, dGn, dWe, dW2, db2, dW3, db3, dsh, dsc, dg) = impl(
+            A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sc, g, ct)
         # dgate from the kernel lacks the dct*sh term (sh is not shipped
         # into VMEM); sum_n dct*sh = sh * sum_n dct — one cheap XLA
         # reduction over the cotangent.

@@ -16,6 +16,8 @@ import numpy as np
 from codlad_tpu.nn.layers import torch_linear_init
 from codlad_tpu.kernels.mpnn_kernels import (fused_message_edge,
                                              fused_message_edge_lnmod,
+                                             fused_message_edge_lnmod_drop,
+                                             fused_message_edge_lnmod_pdrop,
                                              fused_message_sum)
 
 
@@ -263,13 +265,20 @@ class SplitMessageChain(nn.Module):
 
     @nn.compact
     def __call__(self, h_self, edge_pre, nbr_node_pre, nbr, mask_attend=None,
-                 ln_mod=None):
+                 ln_mod=None, keep=None, pdrop=None):
         """h_self: [B, L, H]; edge_pre: [B, L, K, H] per-edge features;
         nbr_node_pre: [B, L, H] node features gathered via the `nbr` op.
 
         ln_mod=(sh, sc, g): fuse the encoder's h_E epilogue
         g * modulate(LN(edge_pre + msg), sh, sc) into the kernel (saves two
         [B, L, K, H] HBM round trips per layer; reduce_sum=False only).
+        keep (with ln_mod): [B, L, K, H] dropout scales (0 or 1/(1-p))
+        applied to msg INSIDE the fused epilogue.
+        pdrop (with ln_mod): (seeds [B] int32, p) — dropout whose mask is
+        generated in VMEM by the TPU hardware PRNG (and regenerated in
+        the backward): no mask generation or HBM mask traffic at all.
+        This is the training path; `keep` remains for injecting an
+        explicit mask (tests, parity checks).
 
         edge_scale: static scalar folded into W_e — callers whose edge
         input is c*h_E pass h_E and edge_scale=c instead of materializing
@@ -303,6 +312,15 @@ class SplitMessageChain(nn.Module):
                                      self.scale)
         if ln_mod is not None:
             sh, sc, g = ln_mod
+            if pdrop is not None:
+                seeds, p = pdrop
+                return fused_message_edge_lnmod_pdrop(
+                    A, edge_pre, Gn, idx, onehot, W_e, W2, b2, W3, b3,
+                    sh, sc, g, seeds, p)
+            if keep is not None:
+                return fused_message_edge_lnmod_drop(
+                    A, edge_pre, Gn, idx, onehot, W_e, W2, b2, W3, b3,
+                    sh, sc, g, keep)
             return fused_message_edge_lnmod(A, edge_pre, Gn, idx, onehot,
                                             W_e, W2, b2, W3, b3, sh, sc, g)
         return fused_message_edge(A, edge_pre, Gn, idx, onehot,
@@ -366,9 +384,17 @@ class EncLayerDiffusion(nn.Module):
             h_E = SplitMessageChain(self.num_hidden)(
                 h_V, h_E, h_V, nbr, ln_mod=(sh3, sc3, g3))
         else:
-            h_message = SplitMessageChain(self.num_hidden)(h_V, h_E, h_V, nbr)
-            h_E = ln()(h_E + drop(h_message.astype(h_E.dtype)))
-            h_E = g3[:, None, None, :] * modulate(h_E, sh3, sc3)
+            # training: dropout fused into the same kernel epilogue, mask
+            # generated IN VMEM by the hardware PRNG from per-sample seeds
+            # (an explicit [B, L, K, H] keep mask measured perf-NEUTRAL:
+            # its own generation + three HBM passes cancel the fusion win)
+            key = self.make_rng("dropout")
+            seeds = jax.random.randint(key, (h_E.shape[0],), 0,
+                                       np.iinfo(np.int32).max,
+                                       dtype=jnp.int32)
+            h_E = SplitMessageChain(self.num_hidden)(
+                h_V, h_E, h_V, nbr, ln_mod=(sh3, sc3, g3),
+                pdrop=(seeds, self.dropout))
         return h_V, h_E
 
 

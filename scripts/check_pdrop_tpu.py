@@ -1,0 +1,113 @@
+"""Validate the in-kernel-PRNG dropout kernels on REAL TPU hardware.
+
+Interpret mode stubs `pltpu.prng_random_bits` to zeros, so CPU tests can
+only check plumbing (tests/test_kernels.py::test_pdrop_kernel_plumbing_
+interpret).  This script checks the actual hardware bits:
+
+  1. the generated keep mask holds only {0, 1/(1-p)} and keeps ~(1-p)
+  2. forward == reference given the realized mask
+  3. custom-VJP gradients == reference gradients with that same mask
+     (proving the BACKWARD kernel regenerates the forward's exact bits)
+  4. same seeds -> same mask; different seeds -> different masks
+
+    python scripts/check_pdrop_tpu.py
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codlad_tpu.kernels import mpnn_kernels as MK
+
+
+def main():
+    assert jax.default_backend() in ("tpu", "axon"), (
+        f"needs real TPU, got {jax.default_backend()}")
+    rng = np.random.default_rng(3)
+    B, L, K, H = 2, 16, 8, 128
+    p = 0.3
+    A = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32))
+    E = jnp.asarray(rng.normal(size=(B, L, K, H)).astype(np.float32))
+    Gn = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, L, size=(B, L, K)).astype(np.int32))
+    W_e, W2, W3 = (jnp.asarray(rng.normal(size=(H, H)).astype(np.float32)
+                               * 0.05) for _ in range(3))
+    b2, b3 = (jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.1)
+              for _ in range(2))
+    sh = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1)
+    sc = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    seeds = jnp.asarray([1234, 99], jnp.int32)
+
+    out_dbg, mask = jax.jit(
+        lambda *a: MK.edge_lnmod_pdrop_debug(*a, seeds, p)
+    )(A, E, Gn, idx, None, W_e, W2, b2, W3, b3, sh, sc, g)
+    mask_np = np.asarray(mask)
+
+    # 1. mask statistics
+    vals = np.unique(mask_np)
+    scale = np.float32(1.0 / (1.0 - p))
+    assert set(np.round(vals, 5)) <= {0.0, np.round(scale, 5)}, vals
+    keep_frac = (mask_np > 0).mean()
+    assert abs(keep_frac - (1 - p)) < 0.01, keep_frac
+    print(f"1. mask ok: values {vals}, keep fraction {keep_frac:.4f} "
+          f"(target {1-p})")
+
+    # per-sample masks differ (per-sample seeds)
+    assert not np.array_equal(mask_np[0], mask_np[1])
+
+    # 2. forward matches the reference given the realized mask
+    want = MK._ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
+                                      sh, sc, g, keep=mask)
+    np.testing.assert_allclose(np.asarray(out_dbg), np.asarray(want),
+                               atol=2e-3, rtol=2e-3)
+    # and the non-debug forward returns the same thing
+    out = jax.jit(lambda *a: MK.fused_message_edge_lnmod_pdrop(
+        *a, seeds, p))(A, E, Gn, idx, None, W_e, W2, b2, W3, b3, sh, sc, g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_dbg),
+                               atol=1e-5)
+    print("2. forward matches reference(realized mask)")
+
+    # 3. gradients: backward kernel must regenerate the same bits
+    def loss(fused):
+        def f(args):
+            A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g = args
+            if fused:
+                o = MK.fused_message_edge_lnmod_pdrop(
+                    A, E, Gn, idx, None, W_e, W2, b2, W3, b3, sh, sc, g,
+                    seeds, p)
+            else:
+                o = MK._ref_message_edge_lnmod(
+                    A, E, Gn, idx, W_e, W2, b2, W3, b3, sh, sc, g,
+                    keep=mask)
+            w = jnp.cos(0.04 * jnp.arange(o.size).reshape(o.shape))
+            return (o * w).sum()
+        return f
+
+    args = (A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g)
+    got = jax.jit(jax.grad(loss(True)))(args)
+    want_g = jax.jit(jax.grad(loss(False)))(args)
+    for name, a, b in zip("A E Gn W_e W2 b2 W3 b3 sh sc g".split(),
+                          got, want_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3, err_msg=name)
+    print("3. gradients match (backward regenerated the forward's bits)")
+
+    # 4. determinism / seed sensitivity
+    _, mask2 = jax.jit(lambda *a: MK.edge_lnmod_pdrop_debug(*a, seeds, p))(
+        A, E, Gn, idx, None, W_e, W2, b2, W3, b3, sh, sc, g)
+    assert np.array_equal(mask_np, np.asarray(mask2)), "nondeterministic!"
+    _, mask3 = jax.jit(lambda *a: MK.edge_lnmod_pdrop_debug(
+        *a, seeds + 1, p))(A, E, Gn, idx, None, W_e, W2, b2, W3, b3,
+                           sh, sc, g)
+    assert not np.array_equal(mask_np, np.asarray(mask3))
+    print("4. same seeds identical, shifted seeds differ")
+    print("ALL CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()

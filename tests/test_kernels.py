@@ -361,3 +361,299 @@ def test_pallas_fused_tp_4d_cross_graph():
     for name, a, b in zip("x sh w".split(), got_g, want_g):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-3, rtol=1e-3, err_msg=name)
+
+
+def test_edge_lnmod_drop_kernel_and_gradients():
+    """Dropout fused into the lnmod epilogue (keep mask): forward and all
+    gradients match the reference twin with the same mask, in both
+    selection modes, and keep=ones equals the no-drop kernel."""
+    A, E, Gn, idx, mask, W_e, W2, b2, W3, b3 = _inputs(B=2, L=8, K=4, seed=6)
+    rng = np.random.default_rng(11)
+    B, H = A.shape[0], A.shape[-1]
+    L, K = E.shape[1], E.shape[2]
+    sh = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1)
+    sc = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    keep = jnp.asarray((rng.random((B, L, K, H)) > 0.3).astype(np.float32)
+                       / 0.7)
+
+    def loss(fused, onehot):
+        def f(args):
+            A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g = args
+            if fused:
+                out = MK.fused_message_edge_lnmod_drop(
+                    A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g,
+                    keep)
+            else:
+                out = MK._ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2,
+                                                 W3, b3, sh, sc, g, keep=keep)
+            w = jnp.cos(0.05 * jnp.arange(out.size).reshape(out.shape))
+            return (out * w).sum()
+        return f
+
+    args = (A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g)
+    want = jax.grad(loss(False, None))(args)
+    names = "A E Gn W_e W2 b2 W3 b3 sh sc g".split()
+    for sel in (None, _onehot(idx, L)):
+        with _force_pallas():
+            out = MK.fused_message_edge_lnmod_drop(
+                A, E, Gn, idx, sel, W_e, W2, b2, W3, b3, sh, sc, g, keep)
+            got = jax.grad(loss(True, sel))(args)
+        np.testing.assert_allclose(
+            np.asarray(out),
+            np.asarray(MK._ref_message_edge_lnmod(
+                A, E, Gn, idx, W_e, W2, b2, W3, b3, sh, sc, g, keep=keep)),
+            atol=2e-3, rtol=2e-3)
+        for name, a, b in zip(names, got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=1e-3, err_msg=name)
+
+    # keep == ones reduces to the plain lnmod kernel
+    ones = jnp.ones((B, L, K, H))
+    with _force_pallas():
+        a = MK.fused_message_edge_lnmod_drop(A, E, Gn, idx, None, W_e, W2,
+                                             b2, W3, b3, sh, sc, g, ones)
+        b = MK.fused_message_edge_lnmod(A, E, Gn, idx, None, W_e, W2, b2,
+                                        W3, b3, sh, sc, g)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def _lnmod_inputs(seed=6):
+    A, E, Gn, idx, mask, W_e, W2, b2, W3, b3 = _inputs(B=2, L=8, K=4,
+                                                       seed=seed)
+    rng = np.random.default_rng(13)
+    B, H = A.shape[0], A.shape[-1]
+    sh = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1)
+    sc = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    return A, E, Gn, idx, W_e, W2, b2, W3, b3, sh, sc, g
+
+
+def test_pdrop_fallback_matches_host_keep():
+    """Non-TPU path of the in-kernel-PRNG dropout variant: forward and
+    gradients equal the reference twin with the _host_keep mask."""
+    A, E, Gn, idx, W_e, W2, b2, W3, b3, sh, sc, g = _lnmod_inputs()
+    seeds = jnp.asarray([101, 202], jnp.int32)
+    p = 0.3
+    keep = MK._host_keep(seeds, E.shape, p, E.dtype)
+    assert 0.0 < float(keep.mean()) < 2.0  # nontrivial mask
+    assert set(np.unique(np.asarray(keep))) <= {0.0, np.float32(1 / 0.7)}
+
+    out = MK.fused_message_edge_lnmod_pdrop(
+        A, E, Gn, idx, None, W_e, W2, b2, W3, b3, sh, sc, g, seeds, p)
+    want = MK._ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
+                                      sh, sc, g, keep=keep)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+    def loss(fused):
+        def f(args):
+            A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g = args
+            if fused:
+                o = MK.fused_message_edge_lnmod_pdrop(
+                    A, E, Gn, idx, None, W_e, W2, b2, W3, b3, sh, sc, g,
+                    seeds, p)
+            else:
+                o = MK._ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2,
+                                               W3, b3, sh, sc, g, keep=keep)
+            w = jnp.sin(0.03 * jnp.arange(o.size).reshape(o.shape))
+            return (o * w).sum()
+        return f
+
+    args = (A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g)
+    got = jax.grad(loss(True))(args)
+    want_g = jax.grad(loss(False))(args)
+    for name, a, b in zip("A E Gn W_e W2 b2 W3 b3 sh sc g".split(),
+                          got, want_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
+
+
+def test_pdrop_kernel_plumbing_interpret():
+    """The pdrop KERNELS under the TPU-emulating interpreter.  The
+    interpreter stubs prng_random_bits to zeros => every element dropped
+    (bits < thresh for p>0), so forward AND backward must equal the
+    reference with keep=0 — this validates the seed plumbing, the grid
+    consistency and the epilogue math; real hardware bits are validated
+    by scripts/check_pdrop_tpu.py."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    A, E, Gn, idx, W_e, W2, b2, W3, b3, sh, sc, g = _lnmod_inputs(seed=7)
+    seeds = jnp.asarray([11, 12], jnp.int32)
+    p = 0.25
+    zeros = jnp.zeros(E.shape)
+
+    orig_call = pl.pallas_call
+    orig_use, orig_use_b = MK._use_pallas, MK._use_pallas_bwd
+    MK.pl.pallas_call = functools.partial(
+        orig_call, interpret=pltpu.InterpretParams())
+    MK._use_pallas = lambda: True
+    MK._use_pallas_bwd = lambda: True
+    try:
+        out = MK.fused_message_edge_lnmod_pdrop(
+            A, E, Gn, idx, None, W_e, W2, b2, W3, b3, sh, sc, g, seeds, p)
+
+        def loss(args):
+            A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g = args
+            o = MK.fused_message_edge_lnmod_pdrop(
+                A, E, Gn, idx, None, W_e, W2, b2, W3, b3, sh, sc, g,
+                seeds, p)
+            w = jnp.cos(0.04 * jnp.arange(o.size).reshape(o.shape))
+            return (o * w).sum()
+
+        args = (A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g)
+        got = jax.grad(loss)(args)
+    finally:
+        MK.pl.pallas_call = orig_call
+        MK._use_pallas, MK._use_pallas_bwd = orig_use, orig_use_b
+
+    want = MK._ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
+                                      sh, sc, g, keep=zeros)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-3, rtol=2e-3)
+
+    def ref_loss(args):
+        A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g = args
+        o = MK._ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
+                                       sh, sc, g, keep=zeros)
+        w = jnp.cos(0.04 * jnp.arange(o.size).reshape(o.shape))
+        return (o * w).sum()
+
+    want_g = jax.grad(ref_loss)((A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g))
+    for name, a, b in zip("A E Gn W_e W2 b2 W3 b3 sh sc g".split(),
+                          got, want_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3, err_msg=name)
+
+
+def test_kernel_mesh_batch_partitioning():
+    """set_kernel_mesh: the fused ops shard_map their Pallas branch over
+    the batch axis.  Without it, GSPMD has no partitioning rule for
+    pallas_call and ALL-GATHERS the [B, L, K, H] operands, running every
+    kernel fully replicated on every chip.  Checks: (a) results and
+    gradients (incl. the psum'd weight grads) match the reference on
+    batch-sharded inputs, (b) the lowered HLO contains no all-gather of
+    the edge tensor, (c) batch-dim outputs come back sharded."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    A, E, Gn, idx, mask, W_e, W2, b2, W3, b3 = _inputs(B=8, L=8, K=4,
+                                                       seed=21)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    shard = NamedSharding(mesh, PartitionSpec("data"))
+    A_s, E_s, Gn_s, idx_s, mask_s = (jax.device_put(v, shard)
+                                     for v in (A, E, Gn, idx, mask))
+
+    def loss(args):
+        A, E, Gn, W_e, W2, b2, W3, b3 = args
+        out = MK.fused_message_sum(A, E, Gn, idx_s, None, mask_s,
+                                   W_e, W2, b2, W3, b3, 30.0)
+        w = jnp.sin(0.02 * jnp.arange(out.size).reshape(out.shape))
+        return (out * w).sum()
+
+    fwd = jax.jit(lambda *a: MK.fused_message_sum(*a, 30.0))
+    args = (A_s, E_s, Gn_s, W_e, W2, b2, W3, b3)
+    with _force_pallas():
+        MK.set_kernel_mesh(mesh)
+        try:
+            out = fwd(A_s, E_s, Gn_s, idx_s, None, mask_s,
+                      W_e, W2, b2, W3, b3)
+            hlo = fwd.lower(A_s, E_s, Gn_s, idx_s, None, mask_s, W_e, W2,
+                            b2, W3, b3).compile().as_text()
+            got_g = jax.jit(jax.grad(loss))(args)
+        finally:
+            MK.set_kernel_mesh(None)
+
+    want = MK._ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3, b3,
+                               30.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    assert "all-gather" not in hlo, "kernel operands were all-gathered"
+    assert out.sharding.spec == PartitionSpec("data",)
+
+    def ref_loss(args):
+        A, E, Gn, W_e, W2, b2, W3, b3 = args
+        out = MK._ref_message_sum(A, E, Gn, idx, mask, W_e, W2, b2, W3,
+                                  b3, 30.0)
+        w = jnp.sin(0.02 * jnp.arange(out.size).reshape(out.shape))
+        return (out * w).sum()
+
+    want_g = jax.grad(ref_loss)((A, E, Gn, W_e, W2, b2, W3, b3))
+    for name, a, b in zip("A E Gn W_e W2 b2 W3 b3".split(), got_g, want_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
+
+
+def test_kernel_mesh_lnmod_and_pdrop():
+    """The adaLN-fused op and the in-kernel-PRNG dropout op under the
+    registered mesh: batch-sharded execution, correct grads."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+    from jax.experimental.pallas import tpu as pltpu
+
+    A, E, Gn, idx, W_e, W2, b2, W3, b3, sh, sc, g = _lnmod_inputs(seed=9)
+    # widen to B=8 by tiling
+    r = 4
+    tile = lambda v: jnp.concatenate([v] * r, axis=0)
+    A, E, Gn, idx, sh, sc, g = map(tile, (A, E, Gn, idx, sh, sc, g))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    shard = NamedSharding(mesh, PartitionSpec("data"))
+    A_s, E_s, Gn_s, idx_s, sh_s, sc_s, g_s = (
+        jax.device_put(v, shard) for v in (A, E, Gn, idx, sh, sc, g))
+
+    def loss(args):
+        A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g = args
+        out = MK.fused_message_edge_lnmod(A, E, Gn, idx_s, None, W_e, W2,
+                                          b2, W3, b3, sh, sc, g)
+        w = jnp.cos(0.03 * jnp.arange(out.size).reshape(out.shape))
+        return (out * w).sum()
+
+    args = (A_s, E_s, Gn_s, W_e, W2, b2, W3, b3, sh_s, sc_s, g_s)
+    with _force_pallas():
+        MK.set_kernel_mesh(mesh)
+        try:
+            out = jax.jit(MK.fused_message_edge_lnmod)(
+                A_s, E_s, Gn_s, idx_s, None, W_e, W2, b2, W3, b3,
+                sh_s, sc_s, g_s)
+            got_g = jax.jit(jax.grad(loss))(args)
+        finally:
+            MK.set_kernel_mesh(None)
+
+    want = MK._ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
+                                      sh, sc, g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-3, rtol=2e-3)
+
+    def ref_loss(args):
+        A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g = args
+        out = MK._ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3,
+                                         b3, sh, sc, g)
+        w = jnp.cos(0.03 * jnp.arange(out.size).reshape(out.shape))
+        return (out * w).sum()
+
+    want_g = jax.grad(ref_loss)((A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g))
+    for name, a, b in zip("A E Gn W_e W2 b2 W3 b3 sh sc g".split(),
+                          got_g, want_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3, err_msg=name)
+
+    # the dropout variant under the mesh, via the keep-mask form (same
+    # shard_map wrapper shape as pdrop: a 14th batch-leading operand).
+    # pdrop's hardware-PRNG form can't run here: the TPU-emulating
+    # interpreter's device-barrier clocks livelock under shard_map (and
+    # plain interpret lacks prng_seed) — its on-mesh behavior is covered
+    # by the single-chip TPU check in scripts/check_pdrop_tpu.py plus
+    # this wrapper-shape test.
+    rng2 = np.random.default_rng(5)
+    keep = jnp.asarray(
+        (rng2.random(E.shape) > 0.3).astype(np.float32) / 0.7)
+    keep_s = jax.device_put(keep, shard)
+    with _force_pallas():
+        MK.set_kernel_mesh(mesh)
+        try:
+            out_p = jax.jit(MK.fused_message_edge_lnmod_drop)(
+                A_s, E_s, Gn_s, idx_s, None, W_e, W2, b2, W3, b3,
+                sh_s, sc_s, g_s, keep_s)
+        finally:
+            MK.set_kernel_mesh(None)
+    want_p = MK._ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3,
+                                        b3, sh, sc, g, keep=keep)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(want_p),
+                               atol=2e-3, rtol=2e-3)
