@@ -80,6 +80,14 @@ def build_parser():
                    help="use the TPU-native 'rbg' PRNG (hardware RNG) "
                         "instead of threefry; --no-fast_rng restores "
                         "threefry for bit-exact reproducibility")
+    p.add_argument("-dp", "--dp", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="data-parallel training over all local devices "
+                        "(batch sharded on a 1-D mesh, params replicated, "
+                        "gradient/VQ-EMA reductions over ICI; extension "
+                        "beyond the reference's single-GPU Stage 1). "
+                        "Engages only when >1 device is visible; "
+                        "batch_size is rounded up to a device multiple")
     p.add_argument("-mix_batches", "--mix_batches",
                    action=argparse.BooleanOptionalAction,
                    default=True,
@@ -117,6 +125,21 @@ def main(argv=None):
     ckpt = CheckpointManager(args.logdir)
     ckpt.save_config(vars(args))
     logger.info(f"args: {vars(args)}")
+
+    from codlad_tpu.train import mesh as mesh_mod
+    n_dev = jax.device_count()
+    mesh = None
+    if args.dp and n_dev > 1:
+        if args.batch_size % n_dev:
+            new_bs = -(-args.batch_size // n_dev) * n_dev
+            logger.info(f"dp: batch_size {args.batch_size} -> {new_bs} "
+                        f"(multiple of {n_dev} devices)")
+            args.batch_size = new_bs
+        mesh = mesh_mod.make_mesh(n_dev)
+        # batch-partitioned Pallas execution (see kernels/meshing.py)
+        from codlad_tpu.kernels.meshing import set_kernel_mesh
+        set_kernel_mesh(mesh)
+        logger.info(f"data-parallel over {n_dev} device(s)")
 
     if args.mix_batches:
         from codlad_tpu.data.shards import MixedShardDataset
@@ -180,6 +203,8 @@ def main(argv=None):
     if args.resume and ckpt.exists("last"):
         state = ckpt.restore(state, "last")
         logger.info(f"resumed from step {int(state.step)}")
+    if mesh is not None:
+        state = mesh_mod.replicate(state, mesh)
 
     fields = ["epoch", "train_loss", "val_loss", "recon", "graph", "clash",
               "inter", "xyz", "vq", "kl", "lr"]
@@ -204,7 +229,11 @@ def main(argv=None):
             sums, n = {}, 0
             nonlocal state
             for i, hb in enumerate(data):
-                b = {k: jnp.asarray(v) for k, v in hb.items()}
+                if mesh is not None:
+                    b = mesh_mod.shard_batch(
+                        {k: np.asarray(v) for k, v in hb.items()}, mesh)
+                else:
+                    b = {k: jnp.asarray(v) for k, v in hb.items()}
                 key = jax.random.fold_in(jax.random.PRNGKey(args.seed),
                                          epoch * 100000 + i + (0 if train else 5))
                 if train:

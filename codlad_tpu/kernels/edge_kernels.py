@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
+from codlad_tpu.kernels.meshing import shard_batched
+
 try:  # pltpu only exists with TPU support compiled in
     from jax.experimental.pallas import tpu as pltpu
 except Exception:  # pragma: no cover
@@ -188,7 +190,7 @@ def _ref_aggregate(idx, maskf, msgs, n_nodes):
 def edge_gather(idx, maskf, nodes):
     """nodes [B, N, F] -> per-edge rows [B, E, F] (0 where masked)."""
     if _use_pallas():
-        return _pallas_gather(idx, maskf, nodes)
+        return shard_batched(_pallas_gather, (1, 1, 1))(idx, maskf, nodes)
     return _ref_gather(idx, maskf, nodes)
 
 
@@ -211,7 +213,9 @@ edge_gather.defvjp(_gather_fwd, _gather_bwd)
 def edge_aggregate(idx, maskf, msgs, n_nodes):
     """msgs [B, E, F] -> summed per-node [B, N, F] (masked edges drop)."""
     if _use_pallas():
-        return _pallas_aggregate(idx, maskf, msgs, n_nodes)
+        return shard_batched(
+            lambda i, m, x: _pallas_aggregate(i, m, x, n_nodes),
+            (1, 1, 1))(idx, maskf, msgs)
     return _ref_aggregate(idx, maskf, msgs, n_nodes)
 
 

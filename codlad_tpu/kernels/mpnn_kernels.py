@@ -93,73 +93,11 @@ def _use_pallas_bwd():
     return _use_pallas() and os.environ.get("CODLAD_PALLAS_BWD", "1") != "0"
 
 
-# ---------------------------------------------------------------------------
-# multi-chip: batch-partitioned kernel execution
-#
-# GSPMD has no partitioning rule for pallas_call: under a jit with
-# batch-sharded operands it ALL-GATHERS the [B, L, K, H] tensors and runs
-# every kernel fully replicated on every chip — silently destroying data-
-# parallel scaling for exactly the compute the kernels exist to speed up
-# (verified on the 8-device CPU mesh: the lowered HLO contains all-gathers
-# and a replicated output).  The fix: trainers register their mesh here
-# and every fused op shard_maps its Pallas branch over the batch axis —
-# kernels run on LOCAL shards, weight gradients are psum'd over ICI (the
-# one collective DP actually needs), and batch-dim outputs stay sharded.
-
-_KERNEL_MESH = None  # (Mesh, batch axis name) | None
-
-
-def set_kernel_mesh(mesh, axis="data"):
-    """Register (or clear, with None) the mesh for batch-partitioned
-    kernel execution.  Call once at trainer startup, BEFORE the jitted
-    step first traces; single-chip and non-TPU runs need not call it."""
-    global _KERNEL_MESH
-    _KERNEL_MESH = None if mesh is None else (mesh, axis)
-
-
-def _shard_batched(impl, batch_flags, out_psum_flags=None):
-    """Wrap a pallas wrapper `impl` in shard_map over the registered mesh.
-
-    batch_flags[i]: operand i is batch-leading (sharded on the data axis);
-    otherwise replicated (weights).  out_psum_flags: None -> every output
-    batch-leading; else a tuple where True marks per-shard PARTIAL sums
-    (weight grads) that are psum'd over the axis and returned replicated.
-    """
-    if _KERNEL_MESH is None:
-        return impl
-    mesh, axis = _KERNEL_MESH
-    shard_map = functools.partial(jax.shard_map, check_vma=False)
-
-    in_specs = tuple(P(axis) if f else P() for f in batch_flags)
-    if out_psum_flags is None:
-        out_specs = P(axis)
-    else:
-        out_specs = tuple(P() if f else P(axis) for f in out_psum_flags)
-
-    def body(*args):
-        out = impl(*args)
-        if out_psum_flags is None:
-            return out
-        return tuple(jax.lax.psum(o, axis) if f else o
-                     for o, f in zip(out, out_psum_flags))
-
-    def wrapped(*args):
-        # drop literal-None operands (onehot mode): rebuild the call with
-        # the Nones pinned and the specs filtered
-        live = [i for i, a in enumerate(args) if a is not None]
-        specs = tuple(in_specs[i] for i in live)
-
-        def live_body(*live_args):
-            full = list(args)
-            for i, a in zip(live, live_args):
-                full[i] = a
-            return body(*full)
-
-        return shard_map(live_body, mesh=mesh, in_specs=specs,
-                         out_specs=out_specs)(
-            *(args[i] for i in live))
-
-    return wrapped
+# multi-chip batch-partitioned kernel execution lives in kernels/meshing.py
+# (GSPMD all-gathers pallas_call operands otherwise — see that module);
+# re-exported here because this is the kernel module trainers import.
+from codlad_tpu.kernels.meshing import (set_kernel_mesh,  # noqa: F401
+                                        shard_batched as _shard_batched)
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,8 @@ try:  # pltpu only exists with TPU support compiled in
 except Exception:  # pragma: no cover
     pltpu = None
 
+from codlad_tpu.kernels.meshing import shard_batched
+
 _TILE_E = 512
 
 
@@ -244,11 +246,12 @@ def fused_tp(x, sh, w, cbig_r, expw, sumr):
     4-d operands (the dense atom<->CG cross graphs, [B, L, 14, *]) are
     flattened to [B, L*14, *] so they ride the same VMEM kernel."""
     if _use_pallas() and x.ndim == 4:
-        out = _pallas_fused_tp(_flat3(x), _flat3(sh), _flat3(w),
-                               cbig_r, expw, sumr)
+        impl = shard_batched(_pallas_fused_tp, (1, 1, 1, 0, 0, 0))
+        out = impl(_flat3(x), _flat3(sh), _flat3(w), cbig_r, expw, sumr)
         return out.reshape(x.shape[:3] + (out.shape[-1],))
     if _use_pallas() and x.ndim == 3:
-        return _pallas_fused_tp(x, sh, w, cbig_r, expw, sumr)
+        return shard_batched(_pallas_fused_tp, (1, 1, 1, 0, 0, 0))(
+            x, sh, w, cbig_r, expw, sumr)
     return ref_fused_tp(x, sh, w, cbig_r, expw, sumr)
 
 
@@ -260,13 +263,17 @@ def _fused_tp_fwd(x, sh, w, cbig_r, expw, sumr):
 def _fused_tp_bwd(res, ct):
     x, sh, w, cbig_r, expw, sumr = res
     if _use_pallas() and x.ndim == 4:
-        dx, dsh, dw = _pallas_fused_tp_bwd(_flat3(x), _flat3(sh), _flat3(w),
-                                           cbig_r, expw, sumr, _flat3(ct))
+        bwd = shard_batched(_pallas_fused_tp_bwd, (1, 1, 1, 0, 0, 0, 1),
+                            out_psum_flags=(0, 0, 0))
+        dx, dsh, dw = bwd(_flat3(x), _flat3(sh), _flat3(w),
+                          cbig_r, expw, sumr, _flat3(ct))
         return (dx.reshape(x.shape).astype(x.dtype),
                 dsh.reshape(sh.shape).astype(sh.dtype),
                 dw.reshape(w.shape).astype(w.dtype), None, None, None)
     if _use_pallas() and x.ndim == 3:
-        dx, dsh, dw = _pallas_fused_tp_bwd(x, sh, w, cbig_r, expw, sumr, ct)
+        dx, dsh, dw = shard_batched(
+            _pallas_fused_tp_bwd, (1, 1, 1, 0, 0, 0, 1),
+            out_psum_flags=(0, 0, 0))(x, sh, w, cbig_r, expw, sumr, ct)
         return (dx.astype(x.dtype), dsh.astype(sh.dtype), dw.astype(w.dtype),
                 None, None, None)
     _, vjp = jax.vjp(lambda x, sh, w: ref_fused_tp(x, sh, w, cbig_r, expw,

@@ -110,3 +110,54 @@ def test_gradients_match_autodiff_of_reference():
     np.testing.assert_allclose(np.asarray(jax.grad(a_custom)(msgs)),
                                np.asarray(jax.grad(a_ref)(msgs)),
                                atol=5e-5, rtol=2e-5)
+
+
+def test_edge_kernels_mesh_batch_partitioning():
+    """set_kernel_mesh: gather/aggregate shard_map their Pallas branch
+    over the batch axis (GSPMD would otherwise all-gather the operands
+    and run the kernels replicated per chip)."""
+    import contextlib
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from codlad_tpu.kernels import meshing
+
+    idx, maskf, nodes, msgs = _data(seed=7, B=8, E=1100, N=40, F=7)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    shard = NamedSharding(mesh, PartitionSpec("data"))
+    idx_s, mask_s, nodes_s, msgs_s = (jax.device_put(v, shard)
+                                      for v in (idx, maskf, nodes, msgs))
+
+    orig_call, orig_use = pl.pallas_call, EK._use_pallas
+    # the wrappers pass interpret=False explicitly, so override the kwarg
+    EK.pl.pallas_call = (
+        lambda *a, **k: orig_call(*a, **{**k, "interpret": True}))
+    EK._use_pallas = lambda: True
+    meshing.set_kernel_mesh(mesh)
+    try:
+        fwd = jax.jit(EK.edge_gather)
+        out = fwd(idx_s, mask_s, nodes_s)
+        hlo = fwd.lower(idx_s, mask_s, nodes_s).compile().as_text()
+        agg = jax.jit(lambda *a: EK.edge_aggregate(*a, 40))(
+            idx_s, mask_s, msgs_s)
+        gn = jax.jit(jax.grad(lambda n: (EK.edge_gather(idx_s, mask_s, n)
+                                         ** 2).sum()))(nodes_s)
+    finally:
+        EK.pl.pallas_call = orig_call
+        EK._use_pallas = orig_use
+        meshing.set_kernel_mesh(None)
+
+    assert "all-gather" not in hlo
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(EK._ref_gather(idx, maskf, nodes)),
+                               atol=5e-5, rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(agg),
+        np.asarray(EK._ref_aggregate(idx, maskf, msgs, 40)),
+        atol=5e-5, rtol=2e-5)
+    want_g = jax.grad(lambda n: (EK._ref_gather(idx, maskf, n) ** 2).sum())(
+        nodes)
+    np.testing.assert_allclose(np.asarray(gn), np.asarray(want_g),
+                               atol=5e-5, rtol=2e-5)
