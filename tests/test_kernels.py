@@ -657,3 +657,42 @@ def test_kernel_mesh_lnmod_and_pdrop():
                                         b3, sh, sc, g, keep=keep)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(want_p),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_tp_kernel_mesh_batch_partitioning():
+    """fused_tp under set_kernel_mesh: batch-sharded VMEM TP execution
+    (forward + backward; per-edge TP weight grads stay batch-leading,
+    so no psum is involved)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from codlad_tpu.kernels import meshing
+    from codlad_tpu.kernels import tp_kernels as TK
+
+    x, sh, w, cbig_r, expw, sumr = _tp_inputs(B=8, E=40, seed=3)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    shard = NamedSharding(mesh, PartitionSpec("data"))
+    x_s, sh_s, w_s = (jax.device_put(v, shard) for v in (x, sh, w))
+
+    def loss(fn):
+        def f(args):
+            x, sh, w = args
+            out = fn(x, sh, w, cbig_r, expw, sumr)
+            wt = jnp.sin(0.1 * jnp.arange(out.size).reshape(out.shape))
+            return (out * wt).sum()
+        return f
+
+    with _force_tp_pallas() as TKf:
+        meshing.set_kernel_mesh(mesh)
+        try:
+            got = jax.jit(TKf.fused_tp)(x_s, sh_s, w_s, cbig_r, expw, sumr)
+            got_g = jax.jit(jax.grad(loss(TKf.fused_tp)))((x_s, sh_s, w_s))
+        finally:
+            meshing.set_kernel_mesh(None)
+
+    want = TK.ref_fused_tp(x, sh, w, cbig_r, expw, sumr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+    want_g = jax.grad(loss(TK.ref_fused_tp))((x, sh, w))
+    for name, a, b in zip("x sh w".split(), got_g, want_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3, err_msg=name)
