@@ -123,8 +123,6 @@ def main(argv=None):
 
     logger = create_logger(args.logdir)
     ckpt = CheckpointManager(args.logdir)
-    ckpt.save_config(vars(args))
-    logger.info(f"args: {vars(args)}")
 
     from codlad_tpu.train import mesh as mesh_mod
     n_dev = jax.device_count()
@@ -134,12 +132,16 @@ def main(argv=None):
             new_bs = -(-args.batch_size // n_dev) * n_dev
             logger.info(f"dp: batch_size {args.batch_size} -> {new_bs} "
                         f"(multiple of {n_dev} devices)")
-            args.batch_size = new_bs
+            args.batch_size = new_bs  # before save_config: record the
+            #                           batch size actually trained with
         mesh = mesh_mod.make_mesh(n_dev)
         # batch-partitioned Pallas execution (see kernels/meshing.py)
         from codlad_tpu.kernels.meshing import set_kernel_mesh
         set_kernel_mesh(mesh)
         logger.info(f"data-parallel over {n_dev} device(s)")
+
+    ckpt.save_config(vars(args))
+    logger.info(f"args: {vars(args)}")
 
     if args.mix_batches:
         from codlad_tpu.data.shards import MixedShardDataset

@@ -966,7 +966,15 @@ def _pdrop_bwd(p, res, ct):
                 _cast_like(db2[0], b2), _cast_like(dW3, W3),
                 _cast_like(db3[0], b3), _cast_like(dsh[:, 0, :], sh),
                 _cast_like(dsc[:, 0, :], sc), _cast_like(dg_full, g), None)
-    keep = _host_keep(seeds, E.shape, p, E.dtype)
+    if _use_pallas():
+        # CODLAD_PALLAS_BWD=0 A/B hook: the forward's mask came from the
+        # hardware PRNG, so the XLA-autodiff replay must use THAT mask
+        # (materialized via the debug output), not the threefry fallback
+        _, keep = _pallas_message_edge_lnmod(
+            A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3, sh, sc, g,
+            seeds=seeds, drop_p=p, debug_mask=True)
+    else:
+        keep = _host_keep(seeds, E.shape, p, E.dtype)
     _, vjp = jax.vjp(
         lambda A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g:
         _ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
@@ -991,7 +999,12 @@ def fused_message_edge_lnmod_pdrop(A, E, Gn, idx, onehot, W_e, W2, b2, W3,
     (write + fwd read + bwd read).  TPU-bit validation:
     scripts/check_pdrop_tpu.py (interpret mode stubs the PRNG to zeros).
 
-    p is a static Python float (the module's dropout rate)."""
+    p is a static Python float (the module's dropout rate).  p == 0 falls
+    through to the plain lnmod op (the kernels' seed-operand plumbing is
+    keyed on p > 0, and an all-keep mask is pure overhead anyway)."""
+    if float(p) <= 0.0:
+        return fused_message_edge_lnmod(A, E, Gn, idx, onehot, W_e, W2,
+                                        b2, W3, b3, sh, sc, g)
     return _pdrop_impl(float(p), A, E, Gn, idx, onehot, W_e, W2, b2, W3,
                        b3, sh, sc, g, seeds)
 

@@ -116,9 +116,6 @@ def test_edge_kernels_mesh_batch_partitioning():
     """set_kernel_mesh: gather/aggregate shard_map their Pallas branch
     over the batch axis (GSPMD would otherwise all-gather the operands
     and run the kernels replicated per chip)."""
-    import contextlib
-    import functools
-
     from jax.experimental import pallas as pl
     from jax.sharding import Mesh, NamedSharding, PartitionSpec
 

@@ -696,3 +696,67 @@ def test_tp_kernel_mesh_batch_partitioning():
     for name, a, b in zip("x sh w".split(), got_g, want_g):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3, rtol=2e-3, err_msg=name)
+
+
+def test_pdrop_zero_rate_falls_through():
+    """p == 0 routes to the plain lnmod op on every backend (the kernels'
+    seed plumbing is keyed on p > 0)."""
+    A, E, Gn, idx, W_e, W2, b2, W3, b3, sh, sc, g = _lnmod_inputs(seed=12)
+    seeds = jnp.asarray([5, 6], jnp.int32)
+    a = MK.fused_message_edge_lnmod_pdrop(
+        A, E, Gn, idx, None, W_e, W2, b2, W3, b3, sh, sc, g, seeds, 0.0)
+    b = MK.fused_message_edge_lnmod(A, E, Gn, idx, None, W_e, W2, b2, W3,
+                                    b3, sh, sc, g)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    with _force_pallas():
+        a = MK.fused_message_edge_lnmod_pdrop(
+            A, E, Gn, idx, None, W_e, W2, b2, W3, b3, sh, sc, g, seeds, 0.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                               rtol=2e-3)
+
+
+def test_pdrop_xla_bwd_hook_uses_forward_mask():
+    """CODLAD_PALLAS_BWD=0 with a Pallas forward: the fallback backward
+    must differentiate under the mask the FORWARD applied (materialized
+    via the kernel's debug output), not a fresh threefry draw.  Under the
+    TPU-emulating interpreter bits are zeros => keep=0, so the gradients
+    must equal the reference's with keep=0."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    A, E, Gn, idx, W_e, W2, b2, W3, b3, sh, sc, g = _lnmod_inputs(seed=14)
+    seeds = jnp.asarray([21, 22], jnp.int32)
+    p = 0.25
+    zeros = jnp.zeros(E.shape)
+
+    orig_call = pl.pallas_call
+    orig_use, orig_use_b = MK._use_pallas, MK._use_pallas_bwd
+    MK.pl.pallas_call = functools.partial(
+        orig_call, interpret=pltpu.InterpretParams())
+    MK._use_pallas = lambda: True
+    MK._use_pallas_bwd = lambda: False   # the A/B hook
+    try:
+        def loss(args):
+            A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g = args
+            o = MK.fused_message_edge_lnmod_pdrop(
+                A, E, Gn, idx, None, W_e, W2, b2, W3, b3, sh, sc, g,
+                seeds, p)
+            w = jnp.cos(0.04 * jnp.arange(o.size).reshape(o.shape))
+            return (o * w).sum()
+
+        got = jax.grad(loss)((A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g))
+    finally:
+        MK.pl.pallas_call = orig_call
+        MK._use_pallas, MK._use_pallas_bwd = orig_use, orig_use_b
+
+    def ref_loss(args):
+        A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g = args
+        o = MK._ref_message_edge_lnmod(A, E, Gn, idx, W_e, W2, b2, W3, b3,
+                                       sh, sc, g, keep=zeros)
+        w = jnp.cos(0.04 * jnp.arange(o.size).reshape(o.shape))
+        return (o * w).sum()
+
+    want = jax.grad(ref_loss)((A, E, Gn, W_e, W2, b2, W3, b3, sh, sc, g))
+    for name, a, b in zip("A E Gn W_e W2 b2 W3 b3 sh sc g".split(),
+                          got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3, err_msg=name)
