@@ -42,6 +42,10 @@ def build_parser():
     p.add_argument("--schedule_steps", type=int, default=None)
     p.add_argument("--final_lr", type=float, default=None)
     p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="accumulate N micro-batch gradients per optimizer "
+                        "step (optax.MultiSteps): effective batch = "
+                        "batch_size * N")
     p.add_argument("--ema_decay", type=float, default=0.9999)
     p.add_argument("--diffusion_steps", type=int, default=1000)
     p.add_argument("--noise_schedule", type=str, default="linear")
@@ -269,6 +273,13 @@ def main(argv=None):
                                    args.final_lr)
     tx = optax.chain(optax.clip_by_global_norm(args.grad_clip),
                      optax.adamw(sched, weight_decay=0.0))
+    if args.grad_accum > 1:
+        # reach the reference's global batch 128 on small slices: N
+        # micro-batches accumulate before one optimizer step (extension —
+        # the reference has no accumulation, SURVEY §2.10).  MultiSteps
+        # ticks the LR schedule once per optimizer step; the EMA decay is
+        # root-N-compensated where the step functions are built.
+        tx = optax.MultiSteps(tx, every_k_schedule=args.grad_accum)
     state = create_train_state(params, tx, with_ema=True)
 
     if args.model == "diffusion":
@@ -281,8 +292,12 @@ def main(argv=None):
         process = None
     else:
         process = FLOW_MATCHERS[args.model]()
+    # EMA ticks every MICRO-step; under accumulation params only change
+    # every N-th, so take the N-th root to keep the per-OPTIMIZER-step
+    # smoothing at ema_decay
+    ema_decay = args.ema_decay ** (1.0 / args.grad_accum)
     train_step, eval_step = make_latent_step(
-        model, process, process_kind=args.model, ema_decay=args.ema_decay,
+        model, process, process_kind=args.model, ema_decay=ema_decay,
         dropout=args.dropout > 0,
         compute_dtype="bfloat16" if args.bf16 else None,
         class_dropout_prob=args.class_dropout_prob)

@@ -339,3 +339,43 @@ def test_adaln_gates_receive_gradient():
         assert ks, probe
         mx = max(float(np.abs(flat[k]).max()) for k in ks)
         assert mx > 0, f"{probe} adaLN modulation never received gradient"
+
+
+def test_latent_step_grad_accum(tiny_batch):
+    """optax.MultiSteps accumulation: params move only on every N-th
+    micro-step; the accumulated update approximates the full-batch one."""
+    model = mpnn_diffusion(input_size=3, learn_sigma=True, k_neighbors=8,
+                           dropout=0.0)
+    diffusion = create_diffusion(None, diffusion_steps=100, learn_sigma=True)
+
+    Bsz, L = tiny_batch["res_type"].shape
+    extras = {
+        "res_type": tiny_batch["res_type"],
+        "cg_xyz": tiny_batch["cg_xyz_og"][:, 1:-1],
+        "mask": tiny_batch["res_mask"],
+    }
+    x1 = jax.random.normal(jax.random.PRNGKey(0), (Bsz, L, 3))
+    params = model.init(jax.random.PRNGKey(1), x1,
+                        jnp.zeros((Bsz,), jnp.int32),
+                        extras["res_type"], extras["cg_xyz"],
+                        extras["mask"])
+    tx = optax.MultiSteps(
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(3e-4)),
+        every_k_schedule=2)
+    state = create_train_state(params, tx, with_ema=True)
+    train_step, _ = make_latent_step(model, diffusion,
+                                     process_kind="diffusion",
+                                     dropout=False)
+
+    p0 = jax.tree.map(np.asarray, state.params)
+    state, m1 = train_step(state, x1, extras, jax.random.PRNGKey(3))
+    p1 = jax.tree.map(np.asarray, state.params)
+    # micro-step 1 of 2: accumulate only, params frozen
+    same = jax.tree.map(lambda a, b: np.array_equal(a, b), p0, p1)
+    assert all(jax.tree.leaves(same))
+    state, m2 = train_step(state, x1, extras, jax.random.PRNGKey(4))
+    p2 = jax.tree.map(np.asarray, state.params)
+    # micro-step 2: the optimizer applies the accumulated gradient
+    moved = jax.tree.map(lambda a, b: not np.array_equal(a, b), p1, p2)
+    assert any(jax.tree.leaves(moved))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
