@@ -324,15 +324,24 @@ def main(argv=None):
     stop = False
     local_dev = max(n_dev // pcount, 1)
 
-    for epoch in range(args.epochs):
-        if stop:
-            break
+    def device_batches():
+        """Host pipeline (assembly, normalize, pad, device_put) as a
+        generator so `prefetch` overlaps it with the device step — the
+        role of the reference DataLoader's worker processes."""
         for hb in data:
-            x1 = normalize(hb.pop("x1"), mean, std, norm_in=True).astype(np.float32)
+            x1 = normalize(hb.pop("x1"), mean, std,
+                           norm_in=True).astype(np.float32)
             hb["x1"] = x1
             hb = mesh_mod.pad_batch_to_devices(hb, local_dev)
             sb = mesh_mod.shard_batch(hb, mesh)
-            x1 = sb.pop("x1")
+            yield sb.pop("x1"), sb
+
+    from codlad_tpu.data.prefetch import prefetch
+
+    for epoch in range(args.epochs):
+        if stop:
+            break
+        for x1, sb in prefetch(device_batches()):
             key = jax.random.fold_in(jax.random.PRNGKey(args.seed), train_steps)
             if resampler is not None:
                 # t and the per-sample losses are GLOBAL arrays (the batch

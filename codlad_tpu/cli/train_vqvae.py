@@ -225,17 +225,24 @@ def main(argv=None):
         w = weights_to_array(base_w.dynamic(epoch, args.dynamic_loss))
         timer = Timer()
 
+        def device_batches(data):
+            # host pipeline as a generator so `prefetch` overlaps it with
+            # the device step
+            for hb in data:
+                if mesh is not None:
+                    yield mesh_mod.shard_batch(
+                        {k: np.asarray(v) for k, v in hb.items()}, mesh)
+                else:
+                    yield {k: jnp.asarray(v) for k, v in hb.items()}
+
+        from codlad_tpu.data.prefetch import prefetch
+
         def run(data, step_fn, train):
             # accumulate metrics ON DEVICE; a float() per step would force a
             # host sync every step
             sums, n = {}, 0
             nonlocal state
-            for i, hb in enumerate(data):
-                if mesh is not None:
-                    b = mesh_mod.shard_batch(
-                        {k: np.asarray(v) for k, v in hb.items()}, mesh)
-                else:
-                    b = {k: jnp.asarray(v) for k, v in hb.items()}
+            for i, b in enumerate(prefetch(device_batches(data))):
                 key = jax.random.fold_in(jax.random.PRNGKey(args.seed),
                                          epoch * 100000 + i + (0 if train else 5))
                 if train:
