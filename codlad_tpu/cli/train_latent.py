@@ -46,6 +46,11 @@ def build_parser():
                    help="accumulate N micro-batch gradients per optimizer "
                         "step (optax.MultiSteps): effective batch = "
                         "batch_size * N")
+    p.add_argument("--remat", action="store_true", default=False,
+                   help="rematerialize layer activations in the backward "
+                        "(jax.checkpoint): ~1/3 more FLOPs for O(layers) "
+                        "less activation memory - bigger batch/length "
+                        "headroom")
     p.add_argument("--ema_decay", type=float, default=0.9999)
     p.add_argument("--diffusion_steps", type=int, default=1000)
     p.add_argument("--noise_schedule", type=str, default="linear")
@@ -258,7 +263,7 @@ def main(argv=None):
     model = MPNN_MODELS[args.backbone](
         input_size=args.latent_size, learn_sigma=learn_sigma,
         self_condition=args.self_condition, dropout=args.dropout,
-        adaln_mode=args.adaln_mode)
+        adaln_mode=args.adaln_mode, remat=args.remat)
 
     first = next(iter(val))
     rng = jax.random.PRNGKey(args.seed)

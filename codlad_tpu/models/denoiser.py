@@ -59,6 +59,10 @@ class MPNNDenoiser(nn.Module):
     final_adln: bool = True
     gather_mode: str = "auto"  # see nn.mpnn.make_neighbor_gather
     adaln_mode: str = "trunk"  # 'trunk' (reference) | 'residual' (DiT-style)
+    remat: bool = False        # rematerialize layer activations in the
+    #                            backward (jax.checkpoint): trades ~1/3 more
+    #                            FLOPs for O(layers) less activation HBM —
+    #                            headroom for bigger batch/length at scale
 
     def setup(self):
         from codlad_tpu.nn.layers import torch_linear_init
@@ -76,11 +80,17 @@ class MPNNDenoiser(nn.Module):
         self.w_e = nn.Dense(h, **torch_linear_init(self.edge_features))
         self.w_s = nn.Embed(self.vocab, h,
                             embedding_init=nn.initializers.normal(1.0))
-        self.enc_layers = [EncLayerDiffusion(h, h * 2, dropout=self.dropout,
-                                             gate_mode=self.adaln_mode)
+        # static_argnums count self as 0: deterministic (and the decoder's
+        # edge_scale) are Python values that steer tracing
+        Enc = (nn.remat(EncLayerDiffusion, static_argnums=(7,))
+               if self.remat else EncLayerDiffusion)
+        Dec = (nn.remat(DecLayerDiffusion, static_argnums=(9, 10))
+               if self.remat else DecLayerDiffusion)
+        self.enc_layers = [Enc(h, h * 2, dropout=self.dropout,
+                               gate_mode=self.adaln_mode)
                            for _ in range(self.num_encoder_layers)]
-        self.dec_layers = [DecLayerDiffusion(h, h * 3, dropout=self.dropout,
-                                             gate_mode=self.adaln_mode)
+        self.dec_layers = [Dec(h, h * 3, dropout=self.dropout,
+                               gate_mode=self.adaln_mode)
                            for _ in range(self.num_decoder_layers)]
         out_size = self.input_size * (2 if self.learn_sigma else 1)
         if self.final_adln:
@@ -131,8 +141,9 @@ class MPNNDenoiser(nn.Module):
         h_E = cond["h_E0"].astype(x.dtype)
 
         for layer in self.enc_layers:
-            h_V, h_E = layer(h_V, h_E, nbr, maskf, mask_attend, c=c,
-                             deterministic=deterministic)
+            # positional: nn.remat's static_argnums are positional indices
+            h_V, h_E = layer(h_V, h_E, nbr, maskf, mask_attend, c,
+                             deterministic)
 
         # Decoder message input, block-decomposed (see DecLayerDiffusion):
         # cat_nbr(h_V, h_ES) + h_EXV_encoder has edge block 2*h_E, sequence
@@ -161,16 +172,15 @@ class MPNNDenoiser(nn.Module):
             s_edge = mask_bw * s_nbr + mask_fw * s_enc_nbr
             for layer in self.dec_layers:
                 v_edge = mask_bw * gather_neighbors(h_V, nbr) + mask_fw * venc_nbr
-                h_V = layer(h_V, nbr, edge_pre, s_edge, v_edge, maskf, c=c,
-                            deterministic=deterministic)
+                h_V = layer(h_V, nbr, edge_pre, s_edge, v_edge, maskf,
+                            None, c, deterministic)
         else:
             # the decoder's 2*h_E edge block is folded into W_e inside the
             # chain (edge_scale) — no scaled [B, L, K, H] copy in HBM
             s_node = s_scale * h_S
             for layer in self.dec_layers:
                 h_V = layer(h_V, nbr, h_E, s_node, h_V + h_V_enc,
-                            maskf, c=c, deterministic=deterministic,
-                            edge_scale=2.0)
+                            maskf, None, c, deterministic, 2.0)
 
         if self.final_adln:
             return self.w_out(h_V, c)

@@ -418,3 +418,50 @@ def test_encoder_bf16_compute_close_to_f32():
     scale = np.abs(np.asarray(h32)).mean() + 1e-6
     err = np.abs(np.asarray(h16) - np.asarray(h32)).mean() / scale
     assert err < 0.1, err
+
+
+def test_denoiser_remat_equivalence():
+    """remat=True (jax.checkpoint'd layers): identical params/outputs/
+    gradients to the plain model - only the backward's memory schedule
+    changes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from codlad_tpu.models.denoiser import mpnn_diffusion
+
+    rng = np.random.default_rng(0)
+    B, L = 2, 12
+    x = jnp.asarray(rng.normal(size=(B, L, 3)).astype(np.float32))
+    t = jnp.asarray([3, 7], jnp.int32)
+    res = jnp.asarray(rng.integers(0, 20, size=(B, L)).astype(np.int32))
+    cg = jnp.asarray(np.cumsum(rng.normal(scale=2.0, size=(B, L, 3)),
+                               axis=1).astype(np.float32))
+    mask = jnp.ones((B, L), jnp.float32)
+
+    kw = dict(input_size=3, learn_sigma=True, k_neighbors=6, dropout=0.3)
+    m0 = mpnn_diffusion(**kw)
+    m1 = mpnn_diffusion(remat=True, **kw)
+    p0 = m0.init(jax.random.PRNGKey(1), x, t, res, cg, mask)
+    p1 = m1.init(jax.random.PRNGKey(1), x, t, res, cg, mask)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: a.shape == b.shape, p0, p1))
+
+    def loss(m):
+        def f(p):
+            out = m.apply(p, x, t, res, cg, mask)
+            return (out * jnp.sin(0.1 * jnp.arange(out.size)
+                                  .reshape(out.shape))).sum()
+        return f
+
+    np.testing.assert_allclose(np.asarray(loss(m0)(p0)),
+                               np.asarray(loss(m1)(p1)), rtol=1e-6)
+    g0 = jax.grad(loss(m0))(p0)
+    g1 = jax.grad(loss(m1))(p1)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5), g0, g1)
+
+    # dropout path (rngs thread through the remat boundary)
+    out_d = m1.apply(p1, x, t, res, cg, mask, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(5)})
+    assert np.isfinite(np.asarray(out_d)).all()
