@@ -400,12 +400,17 @@ def main(argv=None):
         if (epoch + 1) % max(args.val_every_epochs, 1) != 0:
             continue
         vnum = vden = 0.0
-        for i, hb in enumerate(val):
-            x1 = normalize(hb.pop("x1"), mean, std, norm_in=True).astype(np.float32)
-            hb["x1"] = x1
-            hb = mesh_mod.pad_batch_to_devices(hb, local_dev)
-            sb = mesh_mod.shard_batch(hb, mesh)
-            x1 = sb.pop("x1")
+
+        def val_batches():
+            for hb in val:
+                x1 = normalize(hb.pop("x1"), mean, std,
+                               norm_in=True).astype(np.float32)
+                hb["x1"] = x1
+                hb = mesh_mod.pad_batch_to_devices(hb, local_dev)
+                sb = mesh_mod.shard_batch(hb, mesh)
+                yield sb.pop("x1"), sb
+
+        for i, (x1, sb) in enumerate(prefetch(val_batches())):
             m = eval_step(state, x1, sb, jax.random.fold_in(rng, i))
             w = float(m.get("weight", x1.shape[0]))
             vnum += float(m["loss"]) * w
