@@ -42,7 +42,7 @@ def main(argv=None):
     from codlad_tpu.data.norm import compute_stats, save_stats
     from codlad_tpu.data.shards import ShardDataset, load_protein_shard
     from codlad_tpu.models.vae import VAE
-    from codlad_tpu.models.vq import nearest_code, vq_init
+    from codlad_tpu.models.vq import build_quantize
     from codlad_tpu.train.checkpoints import CheckpointManager
     from codlad_tpu.train.state import create_train_state
 
@@ -60,8 +60,16 @@ def main(argv=None):
     first = {k: jnp.asarray(v) for k, v in next(iter(data)).items()}
     rng = jax.random.PRNGKey(0)
     params = jax.jit(vae.init)(rng, first)
-    vq_state = (vq_init(rng, cfg.get("codebook_size", 4096), cfg.get("vqdim", 3))
-                if cfg.get("train_section", "vqvae") == "vqvae" else None)
+    # rebuild the EXACT quantizer the checkpoint was trained with (state
+    # tree shape must match for restore: rvq/multihead carry one VQState
+    # per stage/head, fsq none)
+    quantizer = (build_quantize(
+        cfg.get("quantize_type", "vqvae"),
+        codebook_size=cfg.get("codebook_size", 4096),
+        dim=cfg.get("vqdim", 3), levels=cfg.get("fsq_levels"),
+        n_stages=cfg.get("vq_stages", 2), n_heads=cfg.get("vq_heads"))
+        if cfg.get("train_section", "vqvae") == "vqvae" else None)
+    vq_state = quantizer.init(rng) if quantizer is not None else None
     state = create_train_state(params, optax.identity(), vq_state=vq_state)
     name = "best" if ckpt.exists("best") else "last"
     state = ckpt.restore(state, name)
@@ -108,10 +116,12 @@ def main(argv=None):
         all_latents.append(h)
         all_masks.append(mask)
         if state.vq_state is not None:
-            idx = np.asarray(nearest_code(state.vq_state.codebook,
-                                          jnp.asarray(h.reshape(-1, h.shape[-1]))))
-            idx = idx[mask.reshape(-1)]
-            usage += np.bincount(idx, minlength=len(usage))
+            _, idx = quantizer.snap(state.vq_state,
+                                    jnp.asarray(h.reshape(-1, h.shape[-1])))
+            idx = np.asarray(idx)[mask.reshape(-1)]
+            # multi-stage/-head variants: every stage's code joins the
+            # histogram (stages share the codebook size)
+            usage += np.bincount(idx.reshape(-1), minlength=len(usage))
         print(f"{fname}: {h.shape}", flush=True)
 
     if args.stats_name:

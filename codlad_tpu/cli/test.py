@@ -120,7 +120,7 @@ def _load_vae(args):
 
     from codlad_tpu.data.shards import ShardDataset
     from codlad_tpu.models.vae import VAE
-    from codlad_tpu.models.vq import vq_init
+    from codlad_tpu.models.vq import build_quantize
     from codlad_tpu.train.checkpoints import CheckpointManager
     from codlad_tpu.train.state import create_train_state
 
@@ -141,7 +141,7 @@ def _load_vae(args):
         state = create_train_state(params, optax.identity())
         name = "best" if ckpt.exists("best") else "last"
         state = ckpt.restore(state, name)
-        return model, state, cfg
+        return model, state, cfg, None
 
     vae = VAE(mode=cfg.get("train_section", "vqvae"),
               embed_dim=cfg.get("embed_dim", 36), vqdim=cfg.get("vqdim", 3),
@@ -154,12 +154,19 @@ def _load_vae(args):
     first = {k: jnp.asarray(v) for k, v in next(iter(data)).items()}
     rng = jax.random.PRNGKey(0)
     params = jax.jit(vae.init)(rng, first)
-    vq_state = (vq_init(rng, cfg.get("codebook_size", 4096), cfg.get("vqdim", 3))
-                if cfg.get("train_section", "vqvae") == "vqvae" else None)
+    # the exact quantizer the checkpoint trained with (rvq/multihead carry
+    # one VQState per stage/head — restore needs the matching state tree)
+    quantizer = (build_quantize(
+        cfg.get("quantize_type", "vqvae"),
+        codebook_size=cfg.get("codebook_size", 4096),
+        dim=cfg.get("vqdim", 3), levels=cfg.get("fsq_levels"),
+        n_stages=cfg.get("vq_stages", 2), n_heads=cfg.get("vq_heads"))
+        if cfg.get("train_section", "vqvae") == "vqvae" else None)
+    vq_state = quantizer.init(rng) if quantizer is not None else None
     state = create_train_state(params, optax.identity(), vq_state=vq_state)
     name = "best" if ckpt.exists("best") else "last"
     state = ckpt.restore(state, name)
-    return vae, state, cfg
+    return vae, state, cfg, quantizer
 
 
 def main(argv=None):
@@ -180,7 +187,7 @@ def main(argv=None):
     from codlad_tpu.train.state import create_train_state
 
     os.makedirs(args.out_dir, exist_ok=True)
-    vae, vae_state, vae_cfg = _load_vae(args)
+    vae, vae_state, vae_cfg, vae_quantizer = _load_vae(args)
     latent_size = vae_cfg.get("vqdim", 3)
 
     if args.stats_name:
@@ -221,7 +228,8 @@ def main(argv=None):
     pipeline = SamplingPipeline(
         denoiser=denoiser, denoiser_params=den_params, process=process,
         process_kind=args.model, vae=vae, vae_params=vae_state.params,
-        vq_state=vae_state.vq_state, norm_mean=mean, norm_std=std,
+        vq_state=vae_state.vq_state, quantizer=vae_quantizer,
+        norm_mean=mean, norm_std=std,
         latent_size=latent_size, doubled_batch=args.doubled_batch,
         cfg_scale=args.cfg_scale,
         ode_steps=args.num_sampling_steps, ode_method=args.method,

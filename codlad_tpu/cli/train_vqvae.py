@@ -64,12 +64,18 @@ def build_parser():
                    help="run the encoder's tensor-product feature path in "
                         "bf16 (geometry and losses stay f32)")
     p.add_argument("-quantize_type", type=str, default="vqvae",
-                   choices=["vqvae", "cosine", "orthogonal", "expire", "fsq"],
+                   choices=["vqvae", "cosine", "orthogonal", "expire",
+                            "fsq", "rvq", "multihead"],
                    help="VQ variant (reference build_quantize dispatch, "
-                        "utils/vq_module.py:98-163)")
+                        "utils/vq_module.py:98-163; rvq is an extension: "
+                        "n-stage residual quantization)")
     p.add_argument("-fsq_levels", type=int, nargs="*", default=None,
                    help="FSQ levels (reference default [7,5,5,5,5]; "
                         "vqdim must equal len(levels))")
+    p.add_argument("-vq_stages", type=int, default=2,
+                   help="rvq: number of residual stages")
+    p.add_argument("-vq_heads", type=int, default=None,
+                   help="multihead: number of heads (vqdim must divide)")
     p.add_argument("-codebook_size", type=int, default=256)
     p.add_argument("-codebook_temp", type=float, default=0.25)
     p.add_argument("-codebook_ema_decay", type=float, default=0.99)
@@ -178,7 +184,8 @@ def main(argv=None):
             args.quantize_type, codebook_size=args.codebook_size,
             dim=args.vqdim, decay=args.codebook_ema_decay,
             commitment_weight=args.codebook_temp,
-            levels=args.fsq_levels)
+            levels=args.fsq_levels, n_stages=args.vq_stages,
+            n_heads=args.vq_heads)
             if args.train_section == "vqvae" else None)
         train_step, eval_step = make_vqvae_step(
             model, vq_decay=args.codebook_ema_decay,

@@ -41,7 +41,8 @@ class SamplingPipeline:
     process_kind: str        # 'diffusion' | flow names
     vae: VAE
     vae_params: Any
-    vq_state: Any            # VQState or None
+    vq_state: Any            # VQState / per-stage list (rvq, multihead) / None
+    quantizer: Any = None    # models/vq.Quantizer; None -> plain EMA-VQ snap
     norm_mean: np.ndarray    # [latent_dim]
     norm_std: np.ndarray
     latent_size: int = 3
@@ -161,8 +162,12 @@ class SamplingPipeline:
         mean, std = norm
         latents = latents_norm * std + mean
         if vq_state is not None:
-            latents, _, _, _ = vq_quantize(vq_state, latents,
-                                           batch["res_mask"], train=False)
+            if self.quantizer is not None:
+                latents, _, _, _ = self.quantizer.quantize(
+                    vq_state, latents, batch["res_mask"], train=False)
+            else:
+                latents, _, _, _ = vq_quantize(vq_state, latents,
+                                               batch["res_mask"], train=False)
         ic_recon = self.vae.apply(vae_params, batch, latents, method=VAE.decode)
         xyz14 = ic_to_xyz14(batch["cg_xyz_og"], ic_recon, batch["res_type"])
         return ic_recon, xyz14

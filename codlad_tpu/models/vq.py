@@ -161,6 +161,34 @@ def multihead_vq_quantize(states, z, mask=None, *, train=False, decay=0.99,
             new_states)
 
 
+def residual_vq_quantize(states, z, mask=None, *, train=False, decay=0.99,
+                         commitment_weight=0.25):
+    """Residual VQ (SoundStream-style; extension — the reference's variant
+    set stops at multi-head, utils/vq_module.py:98-163): stage i quantizes
+    the residual left by stages < i against its own codebook, and the
+    output is the SUM of stage codes.  Quantization error decays
+    geometrically with stages at the same per-stage codebook size.
+
+    Straight-through estimator applied ONCE around the summed hard codes
+    (each stage's commitment loss still shapes its own input residual).
+    Returns (z_q, indices [..., n_stages], mean commit loss, states)."""
+    resid = z
+    total = jnp.zeros_like(z)
+    idxs, losses, new_states = [], 0.0, []
+    for st in states:
+        zq, idx, loss, ns = vq_quantize(st, resid, mask, train=train,
+                                        decay=decay,
+                                        commitment_weight=commitment_weight)
+        hard = jax.lax.stop_gradient(zq)
+        total = total + hard
+        resid = resid - hard
+        idxs.append(idx)
+        losses = losses + loss
+        new_states.append(ns)
+    z_q = z + jax.lax.stop_gradient(total - z)
+    return z_q, jnp.stack(idxs, -1), losses / len(states), new_states
+
+
 def expire_dead_codes(rng, state: VQState, z, mask=None, threshold=2.0):
     """Replace codes with EMA cluster size below threshold by random batch
     vectors (reference 'Expiring_stalevq', utils/vq_module.py:122-127)."""
@@ -221,10 +249,13 @@ class Quantizer:
     quantize(state, z, mask, train, rng) -> (z_q, idx, commit_loss,
     new_state); state is None for the stateless FSQ."""
 
+    KINDS = ("vqvae", "cosine", "orthogonal", "expire", "fsq", "rvq",
+             "multihead")
+
     def __init__(self, kind, codebook_size=4096, dim=3, levels=None,
                  decay=0.99, commitment_weight=0.25, ortho_weight=10.0,
-                 expire_threshold=2.0):
-        if kind not in ("vqvae", "cosine", "orthogonal", "expire", "fsq"):
+                 expire_threshold=2.0, n_stages=2, n_heads=None):
+        if kind not in self.KINDS:
             raise ValueError(f"unknown quantize_type {kind!r}")
         self.kind = kind
         self.codebook_size = codebook_size
@@ -234,13 +265,27 @@ class Quantizer:
         self.commitment_weight = commitment_weight
         self.ortho_weight = ortho_weight
         self.expire_threshold = expire_threshold
+        self.n_stages = n_stages
+        self.n_heads = n_heads
         if kind == "fsq" and dim != len(self.levels):
             raise ValueError(
                 f"fsq needs vqdim == len(levels) ({len(self.levels)}), got {dim}")
+        if kind == "multihead":
+            if not n_heads:
+                raise ValueError("multihead needs n_heads (-vq_heads)")
+            if dim % n_heads:
+                raise ValueError(f"vqdim {dim} must divide by n_heads {n_heads}")
 
     def init(self, rng):
         if self.kind == "fsq":
             return None
+        if self.kind == "rvq":
+            return [vq_init(jax.random.fold_in(rng, i), self.codebook_size,
+                            self.dim) for i in range(self.n_stages)]
+        if self.kind == "multihead":
+            return [vq_init(jax.random.fold_in(rng, i), self.codebook_size,
+                            self.dim // self.n_heads)
+                    for i in range(self.n_heads)]
         return vq_init(rng, self.codebook_size, self.dim)
 
     def quantize(self, state, z, mask=None, *, train=False, rng=None):
@@ -249,6 +294,10 @@ class Quantizer:
         if self.kind == "fsq":
             z_q, idx = fsq_quantize(z, self.levels)
             return z_q, idx, jnp.float32(0.0), None
+        if self.kind == "rvq":
+            return residual_vq_quantize(state, z, mask, **kw)
+        if self.kind == "multihead":
+            return multihead_vq_quantize(state, z, mask, **kw)
         if self.kind == "cosine":
             return vq_quantize_cosine(state, z, mask, **kw)
         z_q, idx, loss, new_state = vq_quantize(state, z, mask, **kw)
@@ -260,6 +309,13 @@ class Quantizer:
             new_state = expire_dead_codes(rng, new_state, z, mask,
                                           threshold=self.expire_threshold)
         return z_q, idx, loss, new_state
+
+    def snap(self, state, z):
+        """Inference-time quantization: (z_q, flat code indices) with no
+        state update — the eval/extract surface (works for every kind;
+        multi-stage indices are flattened for usage histograms)."""
+        z_q, idx, _, _ = self.quantize(state, z, mask=None, train=False)
+        return z_q, idx.reshape(idx.shape[:z.ndim - 1] + (-1,))
 
 
 def build_quantize(quantize_type, codebook_size=4096, dim=3, **kw):

@@ -132,3 +132,27 @@ def test_genzprot_pipeline(workdir):
     g = summary["__global__"]
     import numpy as np
     assert np.isfinite(g["rmsd"]) and np.isfinite(g["clash"])
+
+
+def test_rvq_pipeline(workdir):
+    """Residual-VQ variant end to end: Stage-1 training with -quantize_type
+    rvq (per-stage VQState list in the checkpoint), then extraction
+    rebuilding the same quantizer for restore + usage histogram."""
+    from codlad_tpu.cli import extract_features, preprocess, train_vqvae
+
+    shards_dir = str(workdir / "shards_rvq")
+    preprocess.main(["--synthetic", "1", "12", "6", "--out_dir", shards_dir])
+    logdir = str(workdir / "vq_rvq")
+    train_vqvae.main([
+        "-data_dir", shards_dir, "-logdir", logdir, "-nepochs", "1",
+        "-batch_size", "2", "-enc_nconv", "2", "-dec_nconv", "2",
+        "-vqdim", "4", "-codebook_size", "16", "-quantize_type", "rvq",
+        "-vq_stages", "3",
+    ])
+    assert os.path.isdir(os.path.join(logdir, "last"))
+    feat_dir = str(workdir / "features_rvq")
+    extract_features.main([
+        "--ckpt", logdir, "--data_dir", shards_dir, "--out_dir", feat_dir,
+    ])
+    usage = np.load(os.path.join(feat_dir, "codebook_usage.npy"))
+    assert usage.sum() > 0  # flattened multi-stage histogram counted codes

@@ -465,3 +465,56 @@ def test_denoiser_remat_equivalence():
     out_d = m1.apply(p1, x, t, res, cg, mask, deterministic=False,
                      rngs={"dropout": jax.random.PRNGKey(5)})
     assert np.isfinite(np.asarray(out_d)).all()
+
+
+def test_residual_vq_and_quantizer_dispatch():
+    """rvq: quantization error drops with every stage; the Quantizer
+    dispatches rvq and multihead with per-stage/head state lists, and
+    snap() flattens multi-stage indices."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from codlad_tpu.models.vq import build_quantize, residual_vq_quantize
+
+    rng_np = np.random.default_rng(0)
+    z = jnp.asarray(rng_np.normal(size=(4, 32, 4)).astype(np.float32))
+    mask = jnp.ones((4, 32), jnp.float32)
+
+    q1 = build_quantize("vqvae", codebook_size=32, dim=4)
+    q2 = build_quantize("rvq", codebook_size=32, dim=4, n_stages=3)
+    s1, s2 = q1.init(jax.random.PRNGKey(0)), q2.init(jax.random.PRNGKey(0))
+
+    # burn a few EMA updates so codebooks adapt
+    for i in range(20):
+        _, _, _, s1 = q1.quantize(s1, z, mask, train=True)
+        _, _, _, s2 = q2.quantize(s2, z, mask, train=True)
+
+    zq1, idx1, _, _ = q1.quantize(s1, z, mask, train=False)
+    zq2, idx2, _, _ = q2.quantize(s2, z, mask, train=False)
+    e1 = float(((z - zq1) ** 2).mean())
+    e2 = float(((z - zq2) ** 2).mean())
+    assert e2 < e1, (e1, e2)  # 3 stages beat 1 at equal codebook size
+    assert idx2.shape == z.shape[:-1] + (3,)
+
+    # per-stage residual errors decrease monotonically
+    resid = z
+    errs = []
+    for st in s2:
+        zq, _, _, _ = residual_vq_quantize([st], resid, mask, train=False)
+        hard = jax.lax.stop_gradient(zq)
+        errs.append(float(((resid - hard) ** 2).mean()))
+        resid = resid - hard
+    assert errs[0] > errs[-1]
+
+    # straight-through: d out / d z == identity (sum-of-out grads == ones)
+    g = jax.grad(lambda zz: q2.quantize(s2, zz, mask, train=False)[0].sum())(z)
+    np.testing.assert_allclose(np.asarray(g), 1.0, atol=1e-6)
+
+    # multihead dispatch + snap index flattening
+    qh = build_quantize("multihead", codebook_size=32, dim=4, n_heads=2)
+    sh = qh.init(jax.random.PRNGKey(1))
+    zqh, idxh, _, _ = qh.quantize(sh, z, mask, train=True)
+    assert zqh.shape == z.shape and idxh.shape == z.shape[:-1] + (2,)
+    _, flat = q2.snap(s2, z)
+    assert flat.shape == z.shape[:-1] + (3,)
