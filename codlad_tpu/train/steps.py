@@ -94,11 +94,14 @@ def make_vqvae_step(vae: VAE, *, vq_decay=0.99, commitment_weight=0.25,
             loss_fn, has_aux=True)(state.params)
         good = jnp.isfinite(loss) & (loss < skip_loss_threshold)
         grads = jax.tree.map(lambda g: jnp.where(good, g, 0.0), grads)
-        new_state = state.apply_gradients(grads)
-        # only adopt VQ updates from good batches
-        new_vq = jax.tree.map(
-            lambda new, old: jnp.where(good, new, old), new_vq, state.vq_state)
-        new_state = new_state.replace(vq_state=new_vq)
+        cand = state.apply_gradients(grads)
+        cand = cand.replace(vq_state=new_vq)
+        # skipped batch == the step never happened (reference skips
+        # optimizer.step() outright, train_module.py:413-415): zero grads
+        # alone still move params through Adam's momentum decay, so select
+        # the WHOLE state — params, opt state, step counter, VQ state
+        new_state = jax.tree.map(lambda n, o: jnp.where(good, n, o),
+                                 cand, state)
         metrics["skipped"] = 1.0 - good.astype(jnp.float32)
         return new_state, metrics
 
@@ -132,7 +135,10 @@ def make_genzprot_step(model: GenZProt, *, beta=0.05, max_kl_free=0.01,
             lambda p: forward(p, batch, rng, w, True), has_aux=True)(state.params)
         good = jnp.isfinite(loss) & (loss < skip_loss_threshold)
         grads = jax.tree.map(lambda g: jnp.where(good, g, 0.0), grads)
-        new_state = state.apply_gradients(grads)
+        cand = state.apply_gradients(grads)
+        # see make_vqvae_step: skipped == the step never happened
+        new_state = jax.tree.map(lambda n, o: jnp.where(good, n, o),
+                                 cand, state)
         metrics["skipped"] = 1.0 - good.astype(jnp.float32)
         return new_state, metrics
 

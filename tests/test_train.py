@@ -379,3 +379,39 @@ def test_latent_step_grad_accum(tiny_batch):
     moved = jax.tree.map(lambda a, b: not np.array_equal(a, b), p1, p2)
     assert any(jax.tree.leaves(moved))
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+
+
+def test_vqvae_fault_injection_skips_poisoned_batch(tiny_batch):
+    """Fault injection (SURVEY 5.3): a batch that produces a non-finite
+    loss must be skipped as a zero-gradient step — params AND VQ state
+    unchanged, metrics['skipped']=1 — and training continues normally on
+    the next clean batch."""
+    vae = VAE(embed_dim=36, vqdim=3, mode="vqvae", dec_nconv=2, enc_nconv=2)
+    rng = jax.random.PRNGKey(0)
+    params = vae.init(rng, tiny_batch)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+    state = create_train_state(params, tx, vq_state=vq_init(rng, 64, 3))
+    train_step, _ = make_vqvae_step(vae)
+    w = weights_to_array(LossWeights(eta=1.0, zeta=0.0))
+
+    # warm one clean step so optimizer state is nontrivial
+    state, m0 = train_step(state, tiny_batch, jax.random.PRNGKey(1), w)
+    assert float(m0["skipped"]) == 0.0
+
+    poisoned = dict(tiny_batch)
+    poisoned["xyz14"] = tiny_batch["xyz14"].at[0, 0, 0, 0].set(jnp.nan)
+    p_before = jax.tree.map(np.asarray, state.params)
+    cb_before = np.asarray(state.vq_state.codebook)
+    state, m1 = train_step(state, poisoned, jax.random.PRNGKey(2), w)
+    assert float(m1["skipped"]) == 1.0
+    same = jax.tree.map(lambda a, b: np.array_equal(a, np.asarray(b)),
+                        p_before, state.params)
+    assert all(jax.tree.leaves(same)), "params moved on a poisoned batch"
+    np.testing.assert_array_equal(cb_before, np.asarray(state.vq_state.codebook))
+
+    # clean batch afterwards trains (finite loss, params move)
+    state, m2 = train_step(state, tiny_batch, jax.random.PRNGKey(3), w)
+    assert float(m2["skipped"]) == 0.0 and np.isfinite(float(m2["loss"]))
+    moved = jax.tree.map(lambda a, b: not np.array_equal(a, np.asarray(b)),
+                         p_before, state.params)
+    assert any(jax.tree.leaves(moved))
