@@ -42,9 +42,9 @@ class SamplingPipeline:
     vae: VAE
     vae_params: Any
     vq_state: Any            # VQState / per-stage list (rvq, multihead) / None
-    quantizer: Any = None    # models/vq.Quantizer; None -> plain EMA-VQ snap
     norm_mean: np.ndarray    # [latent_dim]
     norm_std: np.ndarray
+    quantizer: Any = None    # models/vq.Quantizer; None -> plain EMA-VQ snap
     latent_size: int = 3
     doubled_batch: bool = False
     cfg_scale: float = 0.0
