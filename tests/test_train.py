@@ -415,3 +415,84 @@ def test_vqvae_fault_injection_skips_poisoned_batch(tiny_batch):
     moved = jax.tree.map(lambda a, b: not np.array_equal(a, np.asarray(b)),
                          p_before, state.params)
     assert any(jax.tree.leaves(moved))
+
+
+def test_latent_step_with_batch_partitioned_kernels(tiny_batch):
+    """Integration: the FULL Stage-2 train step on the 8-device mesh with
+    set_kernel_mesh active and the real Pallas kernels running interpreted
+    — the configuration a multi-chip TPU trainer runs in (dropout off:
+    plain interpret mode cannot lower the hardware PRNG)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    from codlad_tpu.kernels import meshing
+    from codlad_tpu.kernels import mpnn_kernels as MK
+
+    model = mpnn_diffusion(input_size=3, learn_sigma=True, k_neighbors=8,
+                           dropout=0.0)
+    diffusion = create_diffusion(None, diffusion_steps=100, learn_sigma=True)
+    Bsz, L = tiny_batch["res_type"].shape
+    extras = {
+        "res_type": tiny_batch["res_type"],
+        "cg_xyz": tiny_batch["cg_xyz_og"][:, 1:-1],
+        "mask": tiny_batch["res_mask"],
+    }
+    x1 = jax.random.normal(jax.random.PRNGKey(0), (Bsz, L, 3))
+    params = model.init(jax.random.PRNGKey(1), x1,
+                        jnp.zeros((Bsz,), jnp.int32),
+                        extras["res_type"], extras["cg_xyz"],
+                        extras["mask"])
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(3e-4))
+    # one jitted step PER configuration: the jit cache keys on shapes/
+    # shardings only, so a single step traced before the pallas patch
+    # would silently rerun the reference compilation
+    train_step, _ = make_latent_step(model, diffusion,
+                                     process_kind="diffusion",
+                                     dropout=False)
+
+    mesh = mesh_mod.make_mesh(8)
+    hb = {k: np.asarray(v) for k, v in dict(extras, x1=np.asarray(x1)).items()}
+    hb = mesh_mod.pad_batch_to_devices(hb, 8)
+    # host copy: the jitted step DONATES its state, and device_put may
+    # alias the source buffers into the replicated tree (same pitfall
+    # __graft_entry__ documents) — each config rebuilds from host params
+    params = jax.tree.map(np.asarray, params)
+
+    # reference run (pure-JAX kernels, same sharded data)
+    sharded = mesh_mod.shard_batch(dict(hb), mesh)
+    state = mesh_mod.replicate(
+        create_train_state(params, tx, with_ema=True), mesh)
+    x1_s = sharded.pop("x1")
+    state_ref, m_ref = train_step(state, x1_s, sharded, jax.random.PRNGKey(3))
+    loss_ref = float(m_ref["loss"])
+
+    # pallas-interpreted run under the kernel mesh
+    orig_call, orig_use, orig_use_b = (pl.pallas_call, MK._use_pallas,
+                                       MK._use_pallas_bwd)
+    MK.pl.pallas_call = functools.partial(orig_call, interpret=True)
+    MK._use_pallas = lambda: True
+    MK._use_pallas_bwd = lambda: True
+    meshing.set_kernel_mesh(mesh)
+    try:
+        train_step_p, _ = make_latent_step(model, diffusion,
+                                           process_kind="diffusion",
+                                           dropout=False)
+        sharded = mesh_mod.shard_batch(dict(hb), mesh)
+        state = mesh_mod.replicate(
+            create_train_state(params, tx, with_ema=True), mesh)
+        x1_s = sharded.pop("x1")
+        state_p, m_p = train_step_p(state, x1_s, sharded,
+                                    jax.random.PRNGKey(3))
+        loss_p = float(m_p["loss"])
+    finally:
+        MK.pl.pallas_call = orig_call
+        MK._use_pallas, MK._use_pallas_bwd = orig_use, orig_use_b
+        meshing.set_kernel_mesh(None)
+
+    assert np.isfinite(loss_p)
+    assert abs(loss_p - loss_ref) < 5e-3, (loss_p, loss_ref)
+    # the applied updates agree between the Pallas and pure-JAX backwards
+    gp = float(m_p["grad_norm"])
+    gr = float(m_ref["grad_norm"])
+    assert abs(gp - gr) / max(gr, 1e-9) < 0.02, (gp, gr)
