@@ -270,10 +270,16 @@ def _edge_lnmod_kernel(sel_ref, a_ref, e_ref, g_ref, we_ref, w2_ref, b2_ref,
     out_ref[0] = out.reshape(TL, K, H).astype(out_ref.dtype)
 
 
-def _tile_rows(L, K=64, H=128, bytes_per_edge_elem=12):
+def _tile_rows(L, K=64, H=128, bytes_per_edge_elem=12, dt=jnp.bfloat16):
     """Largest row tile whose per-edge working set stays well under VMEM
-    (double-buffered inputs included in the byte estimate)."""
+    (double-buffered inputs included in the byte estimate).
+
+    `bytes_per_edge_elem` values were calibrated with bf16 edge payloads;
+    `dt` scales them for wider dtypes (f32 training at B=128/L=128 blew
+    the 16 MB scoped-vmem limit by 2.45 MB without this — a compile-time
+    OOM that interpret-mode CPU tests cannot catch)."""
     budget = 8 * 1024 * 1024
+    bytes_per_edge_elem *= max(jnp.dtype(dt).itemsize, 2) / 2
     for tl in (128, 64, 32, 16, 8, 4, 2, 1):
         if L % tl == 0 and tl * K * H * bytes_per_edge_elem <= budget:
             return tl
@@ -325,7 +331,7 @@ def _weight_specs(H):
 def _pallas_message_sum(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3,
                         scale):
     B, L, K, H = E.shape
-    TL = _tile_rows(L, K, H)
+    TL = _tile_rows(L, K, H, dt=E.dtype)
     grid = (B, L // TL)
     dt = E.dtype
     sel, sel_spec, has_oh = _sel_operand(idx, onehot, dt, TL)
@@ -347,7 +353,7 @@ def _pallas_message_sum(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3,
 
 def _pallas_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
     B, L, K, H = E.shape
-    TL = _tile_rows(L, K, H)
+    TL = _tile_rows(L, K, H, dt=E.dtype)
     grid = (B, L // TL)
     dt = E.dtype
     sel, sel_spec, has_oh = _sel_operand(idx, onehot, dt, TL)
@@ -363,12 +369,13 @@ def _pallas_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
       W_e.astype(dt), W2.astype(dt), b2, W3.astype(dt), b3)
 
 
-def _pdrop_tile(L, K, H):
+def _pdrop_tile(L, K, H, dt):
     """Shared fwd/bwd tile for the in-kernel-PRNG dropout variant: the
     mask is regenerated per (sample, tile) seed, so the grids MUST match
     for the backward to reproduce the forward's bits.  Sized for the
-    backward's working set (the larger of the two)."""
-    return _tile_rows(L, K, H, bytes_per_edge_elem=30)
+    backward's working set (the larger of the two).  `dt` must be the
+    edge dtype in BOTH directions, or the regenerated bits diverge."""
+    return _tile_rows(L, K, H, bytes_per_edge_elem=30, dt=dt)
 
 
 def _pallas_message_edge_lnmod(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3,
@@ -376,10 +383,11 @@ def _pallas_message_edge_lnmod(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3,
                                debug_mask=False):
     B, L, K, H = E.shape
     if seeds is not None:
-        TL = _pdrop_tile(L, K, H)
+        TL = _pdrop_tile(L, K, H, E.dtype)
     else:
         TL = _tile_rows(L, K, H,
-                        bytes_per_edge_elem=14 if keep is not None else 12)
+                        bytes_per_edge_elem=14 if keep is not None else 12,
+                        dt=E.dtype)
     grid = (B, L // TL)
     dt = E.dtype
     sel, sel_spec, has_oh = _sel_operand(idx, onehot, dt, TL)
@@ -627,8 +635,8 @@ def _edge_lnmod_bwd_kernel(sel_ref, a_ref, e_ref, g_ref, we_ref, w2_ref,
                     i_first)
 
 
-def _bwd_tile(L, K, H):
-    return _tile_rows(L, K, H, bytes_per_edge_elem=26)
+def _bwd_tile(L, K, H, dt):
+    return _tile_rows(L, K, H, bytes_per_edge_elem=26, dt=dt)
 
 
 def _bwd_weight_outs(H):
@@ -663,7 +671,7 @@ def _bwd_data_outs(B, L, K, H, TL, edt):
 
 def _pallas_sum_bwd(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, dout):
     B, L, K, H = E.shape
-    TL = _bwd_tile(L, K, H)
+    TL = _bwd_tile(L, K, H, E.dtype)
     dt = E.dtype
     sel, sel_spec, has_oh = _sel_operand(idx, onehot, dt, TL)
     d_specs, d_shapes = _bwd_data_outs(B, L, K, H, TL, dt)
@@ -686,7 +694,7 @@ def _pallas_sum_bwd(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, dout):
 
 def _pallas_edge_bwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, dout):
     B, L, K, H = E.shape
-    TL = _bwd_tile(L, K, H)
+    TL = _bwd_tile(L, K, H, E.dtype)
     dt = E.dtype
     sel, sel_spec, has_oh = _sel_operand(idx, onehot, dt, TL)
     d_specs, d_shapes = _bwd_data_outs(B, L, K, H, TL, dt)
@@ -709,11 +717,11 @@ def _pallas_edge_lnmod_bwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3,
                            sc, g, dout, keep=None, seeds=None, drop_p=0.0):
     B, L, K, H = E.shape
     if seeds is not None:
-        TL = _pdrop_tile(L, K, H)
+        TL = _pdrop_tile(L, K, H, E.dtype)
     elif keep is not None:
-        TL = _tile_rows(L, K, H, bytes_per_edge_elem=28)
+        TL = _tile_rows(L, K, H, bytes_per_edge_elem=28, dt=E.dtype)
     else:
-        TL = _bwd_tile(L, K, H)
+        TL = _bwd_tile(L, K, H, E.dtype)
     dt = E.dtype
     sel, sel_spec, has_oh = _sel_operand(idx, onehot, dt, TL)
     d_specs, d_shapes = _bwd_data_outs(B, L, K, H, TL, dt)
