@@ -39,6 +39,13 @@ def build_parser():
     p.add_argument("--batch_size", type=int, default=96)
     p.add_argument("--method", type=str, default="euler",
                    help="ODE solver for flow models (euler/midpoint/rk4/dopri5)")
+    p.add_argument("--sampler", type=str, default=None,
+                   choices=["ancestral", "ddim"],
+                   help="diffusion sampler; default: ddim for distilled "
+                        "checkpoints (gen/distill.py), ancestral otherwise "
+                        "(the reference's only sampler)")
+    p.add_argument("--ddim_eta", type=float, default=0.0,
+                   help="DDIM stochasticity (0 = deterministic)")
     p.add_argument("--rtol", type=float, default=1e-5,
                    help="dopri5 relative tolerance (reference test.py:235)")
     p.add_argument("--atol", type=float, default=1e-5,
@@ -218,10 +225,29 @@ def main(argv=None):
         lstate = lat_ckpt.restore(lstate, name)
         den_params = lstate.ema_params if args.use_ema else lstate.params
         if args.model == "diffusion":
-            process = create_diffusion(
-                str(args.num_sampling_steps),
-                diffusion_steps=lat_cfg.get("diffusion_steps", 1000),
-                learn_sigma=True)
+            if lat_cfg.get("distill_tmap"):
+                # progressively-distilled student: its sampling grid is
+                # teacher_grid[0::2]^k, stored verbatim in the config —
+                # evaluating on any other grid wastes the distillation
+                from codlad_tpu.gen.diffusion import diffusion_from_tmap
+                tmap = lat_cfg["distill_tmap"]
+                if args.num_sampling_steps != len(tmap):
+                    print(f"note: distilled checkpoint has a fixed "
+                          f"{len(tmap)}-step grid; ignoring "
+                          f"--num_sampling_steps {args.num_sampling_steps}")
+                process = diffusion_from_tmap(
+                    tmap,
+                    noise_schedule=lat_cfg.get("noise_schedule", "linear"),
+                    diffusion_steps=lat_cfg.get("diffusion_steps", 1000),
+                    learn_sigma=True)
+            else:
+                process = create_diffusion(
+                    str(args.num_sampling_steps),
+                    diffusion_steps=lat_cfg.get("diffusion_steps", 1000),
+                    learn_sigma=True)
+            if args.sampler is None:
+                args.sampler = ("ddim" if lat_cfg.get("distill_tmap")
+                                else "ancestral")
         else:
             process = FLOW_MATCHERS[args.model]()
 
@@ -234,7 +260,8 @@ def main(argv=None):
         cfg_scale=args.cfg_scale,
         ode_steps=args.num_sampling_steps, ode_method=args.method,
         ode_rtol=args.rtol, ode_atol=args.atol,
-        compute_dtype=jnp.bfloat16 if args.bf16 else None)
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        sampler=args.sampler or "ancestral", ddim_eta=args.ddim_eta)
 
     data = ShardDataset(args.data_dir, args.batch_size, shuffle=False)
     # built ONCE so its inner jit cache persists across proteins/ensembles

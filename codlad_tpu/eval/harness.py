@@ -53,6 +53,8 @@ class SamplingPipeline:
     ode_rtol: float = 1e-5
     ode_atol: float = 1e-5
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for fast sampling
+    sampler: str = "ancestral"  # diffusion only: 'ancestral' | 'ddim'
+    ddim_eta: float = 0.0       # eta=0 deterministic; eta=1 ~ ancestral
 
     # All jitted functions take arrays as ARGUMENTS (never as closure
     # captures) — captured arrays would be inlined into the XLA program as
@@ -120,6 +122,10 @@ class SamplingPipeline:
 
     def _run_process(self, rng, model_fn, noise):
         if self.process_kind == "diffusion":
+            if self.sampler == "ddim":
+                return self.process.ddim_sample_loop(
+                    rng, model_fn, noise.shape, noise=noise,
+                    eta=self.ddim_eta, clip_denoised=False)
             return self.process.p_sample_loop(rng, model_fn, noise.shape,
                                               noise=noise, clip_denoised=False)
         f = lambda t, x: model_fn(x, jnp.full((noise.shape[0],), t), None)

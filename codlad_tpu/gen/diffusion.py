@@ -115,6 +115,7 @@ class GaussianDiffusion:
             "posterior_mean_c1": betas * np.sqrt(acp_prev) / (1.0 - acp),
             "posterior_mean_c2": (1.0 - acp_prev) * np.sqrt(alphas) / (1.0 - acp),
             "log_betas": np.log(betas),
+            "alphas_cumprod_prev": acp_prev,
         }
         object.__setattr__(self, "_sched",
                            {k: jnp.asarray(v, jnp.float32) for k, v in sched.items()})
@@ -153,6 +154,11 @@ class GaussianDiffusion:
         nd = x_t.ndim
         return (self._extract("sqrt_recip_acp", t, nd) * x_t
                 - self._extract("sqrt_recipm1_acp", t, nd) * eps)
+
+    def _predict_eps_from_xstart(self, x_t, t, x_start):
+        nd = x_t.ndim
+        return ((self._extract("sqrt_recip_acp", t, nd) * x_t - x_start)
+                / self._extract("sqrt_recipm1_acp", t, nd))
 
     # ---------------- p process
     def p_mean_variance(self, model_output, x, t, clip_denoised=False):
@@ -253,6 +259,68 @@ class GaussianDiffusion:
         (x, _, _), _ = jax.lax.scan(step, carry, jnp.arange(T))
         return x
 
+    # ---------------- DDIM (deterministic sampler; framework extension —
+    # the reference only has DDIM-STRIDE respacing of the ancestral
+    # sampler, respace.py:20-33, no ddim_sample. eta follows Song et al.:
+    # eta=0 is the deterministic probability-flow step, eta=1 recovers the
+    # ancestral fixed-small posterior step.)
+    def ddim_sample(self, model_fn, x, t_idx, rng=None, eta=0.0,
+                    clip_denoised=False, x_self_cond=None):
+        """One DDIM step x_t -> x_{t-1} (respaced indices). Returns
+        (sample, pred_xstart). rng may be None when eta == 0."""
+        B = x.shape[0]
+        nd = x.ndim
+        t = jnp.full((B,), t_idx, jnp.int32)
+        if rng is None:
+            k_model = k_noise = jax.random.PRNGKey(0)
+        else:
+            k_model, k_noise = jax.random.split(rng)
+        if self.self_condition:
+            model_out = model_fn(x, self.map_t(t), k_model,
+                                 x_self_cond=x_self_cond)
+        else:
+            model_out = model_fn(x, self.map_t(t), k_model)
+        out = self.p_mean_variance(model_out, x, t, clip_denoised)
+        pred_xstart = out["pred_xstart"]
+        eps = self._predict_eps_from_xstart(x, t, pred_xstart)
+
+        acp = self._extract("alphas_cumprod", t, nd)
+        acp_prev = self._extract("alphas_cumprod_prev", t, nd)
+        sigma = (eta * jnp.sqrt((1.0 - acp_prev) / (1.0 - acp))
+                 * jnp.sqrt(1.0 - acp / acp_prev))
+        mean = (jnp.sqrt(acp_prev) * pred_xstart
+                + jnp.sqrt(jnp.maximum(1.0 - acp_prev - sigma**2, 0.0)) * eps)
+        nonzero = (t_idx != 0).astype(x.dtype)
+        if eta == 0.0:
+            sample = mean
+        else:
+            z = jax.random.normal(k_noise, x.shape)
+            sample = mean + nonzero * sigma * z
+        if x.shape[-1] == 2:
+            sample = _wrap_pm1(sample)
+        return sample, pred_xstart
+
+    def ddim_sample_loop(self, rng, model_fn, shape, noise=None, eta=0.0,
+                         clip_denoised=False):
+        """Full DDIM sampling as one lax.scan (mirrors p_sample_loop)."""
+        if noise is None:
+            rng, sub = jax.random.split(rng)
+            noise = jax.random.normal(sub, shape)
+        T = self.num_timesteps
+
+        def step(carry, i):
+            x, rng, x_start_prev = carry
+            rng, sub = jax.random.split(rng)
+            sample, x_start = self.ddim_sample(
+                model_fn, x, T - 1 - i, rng=sub, eta=eta,
+                clip_denoised=clip_denoised,
+                x_self_cond=x_start_prev if self.self_condition else None)
+            return (sample, rng, x_start), None
+
+        carry = (noise, rng, jnp.zeros_like(noise))
+        (x, _, _), _ = jax.lax.scan(step, carry, jnp.arange(T))
+        return x
+
     # ---------------- losses
     def _vb_terms(self, frozen_out, x_start, x_t, t, mask=None):
         true_mean, _, true_log_var = self.q_posterior(x_start, x_t, t)
@@ -339,6 +407,32 @@ def discretized_gaussian_log_likelihood(x, *, means, log_scales):
     return jnp.where(
         x < -0.999, log_cdf_plus,
         jnp.where(x > 0.999, log_one_minus, jnp.log(jnp.maximum(cdf_delta, 1e-12))))
+
+
+def diffusion_from_tmap(tmap, noise_schedule="linear", diffusion_steps=1000,
+                        learn_sigma=True, predict_xstart=False,
+                        self_condition=False):
+    """Rebuild a respaced GaussianDiffusion from an explicit base-timestep
+    list (ascending).  Used to reconstruct a progressively-distilled
+    student's exact sampling grid at eval time (gen/distill.py stores the
+    student's timestep_map in its checkpoint config — the grid is
+    teacher_grid[0::2]^k and matches no standard respacing string)."""
+    tmap = np.asarray(sorted(int(t) for t in tmap))
+    betas = get_named_beta_schedule(noise_schedule, diffusion_steps)
+    acp = np.cumprod(1.0 - betas)
+    last = 1.0
+    new_betas = []
+    for i in tmap:
+        new_betas.append(1.0 - acp[i] / last)
+        last = acp[i]
+    return GaussianDiffusion(
+        betas=np.asarray(new_betas),
+        mean_type="xstart" if predict_xstart else "epsilon",
+        var_type="learned_range" if learn_sigma else "fixed_small",
+        loss_type="mse",
+        timestep_map=tmap,
+        self_condition=self_condition,
+    )
 
 
 def create_diffusion(timestep_respacing=None, noise_schedule="linear",

@@ -282,3 +282,65 @@ def make_latent_step(denoiser, process, *, process_kind: str,
         return dict(aux, loss=loss)
 
     return train_step, eval_step
+
+
+def make_distill_step(denoiser, teacher_process, student_process, *,
+                      ema_decay=0.9999, compute_dtype=None):
+    """Progressive-distillation steps (gen/distill.py): the student (the
+    trained state) learns to match two frozen-teacher DDIM steps in one.
+    Same mesh/bf16/valid-sample-weighting contract as make_latent_step;
+    dropout is OFF on both branches (the teacher is evaluated exactly as
+    at sampling time, and the student distills that deterministic map)."""
+    from codlad_tpu.gen.distill import distill_loss_terms
+
+    def model_apply(params, x, t, rng, extras):
+        if compute_dtype is not None:
+            cast = lambda v: (v.astype(compute_dtype)
+                              if hasattr(v, "dtype")
+                              and jnp.issubdtype(v.dtype, jnp.floating) else v)
+            params = jax.tree.map(cast, params)
+            x = cast(x)
+            extras = dict(extras, cg_xyz=cast(extras["cg_xyz"]))
+        out = denoiser.apply(
+            params, x, t, extras["res_type"], extras["cg_xyz"],
+            extras["mask"], deterministic=True)
+        return out.astype(jnp.float32)
+
+    def loss_fn(params, teacher_params, x1, extras, rng, train=True):
+        mask3 = extras["mask"][..., None]
+        valid = jnp.any(extras["mask"],
+                        axis=tuple(range(1, extras["mask"].ndim))
+                        ).astype(jnp.float32)
+        n_valid = jnp.maximum(valid.sum(), 1.0)
+        k_t, k_loss = jax.random.split(rng)
+        i_s = jax.random.randint(k_t, (x1.shape[0],), 0,
+                                 student_process.num_timesteps)
+        teacher_fn = lambda x, tt, k: model_apply(
+            jax.lax.stop_gradient(teacher_params), x, tt, k, extras)
+        student_fn = lambda x, tt, k: model_apply(params, x, tt, k, extras)
+        terms = distill_loss_terms(teacher_process, student_process,
+                                   teacher_fn, student_fn, k_loss, x1, i_s,
+                                   mask=mask3)
+        loss = (terms["loss"] * valid).sum() / n_valid
+        return loss, {"mse": (terms["mse"] * valid).sum() / n_valid,
+                      "weight": n_valid}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, teacher_params, x1, extras, rng):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, teacher_params, x1, extras, rng),
+            has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        new_state = new_state.replace(
+            ema_params=update_ema(new_state.ema_params, new_state.params,
+                                  ema_decay))
+        gnorm = jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree.leaves(grads)))
+        return new_state, dict(aux, loss=loss, grad_norm=gnorm)
+
+    @jax.jit
+    def eval_step(state: TrainState, teacher_params, x1, extras, rng):
+        loss, aux = loss_fn(state.params, teacher_params, x1, extras, rng,
+                            train=False)
+        return dict(aux, loss=loss)
+
+    return train_step, eval_step

@@ -93,6 +93,63 @@ def test_full_pipeline(workdir):
     assert traj["xyz"].shape[0] == 2  # num_ensemble frames
 
 
+def test_distill_pipeline(workdir):
+    """Progressive distillation on the trained Stage-2 checkpoint: two
+    halvings of an 8-step teacher grid, then evaluation through the DDIM
+    sampler on the student's own grid (auto-selected from its config)."""
+    from codlad_tpu.cli import distill, test as test_cli
+
+    exp_dir = str(workdir / "latent")
+    if not os.path.isdir(os.path.join(exp_dir, "last")):
+        pytest.skip("needs test_full_pipeline's latent checkpoint")
+    feat_dir = str(workdir / "features")
+    stats_dir = str(workdir / "stats")
+    dist_dir = str(workdir / "distill")
+    distill.main([
+        "--teacher_ckpt", exp_dir, "--feature_dir", feat_dir,
+        "--exp", dist_dir, "--stats_name", "TEST", "--stats_dir", stats_dir,
+        "--start_steps", "8", "--rounds", "2", "--steps_per_round", "3",
+        "--batch_size", "4", "--warmup", "1", "--log_step", "2",
+    ])
+    assert os.path.isdir(os.path.join(dist_dir, "last"))
+    assert os.path.isdir(os.path.join(dist_dir, "T2"))  # 8 -> 4 -> 2
+    cfg = json.load(open(os.path.join(dist_dir, "modelparams.json")))
+    assert cfg["distilled"] and len(cfg["distill_tmap"]) == 2
+
+    out_dir = str(workdir / "eval_distilled")
+    summary = test_cli.main([
+        "--experiment", "latent", "--model", "diffusion",
+        "--vae_ckpt", str(workdir / "vq"), "--latent_ckpt", dist_dir,
+        "--data_dir", str(workdir / "shards"), "--out_dir", out_dir,
+        "--num_sampling_steps", "2", "--num_ensemble", "2",
+        "--stats_name", "TEST", "--stats_dir", stats_dir,
+        "--batch_size", "2",
+    ])
+    g = summary["__global__"]
+    assert np.isfinite(g["rmsd"]) and np.isfinite(g["div"])
+
+
+def test_ddim_sampler_cli_flag(workdir):
+    """--sampler ddim on an UNdistilled diffusion checkpoint (the sampler
+    is usable standalone, not only through distillation)."""
+    from codlad_tpu.cli import test as test_cli
+
+    exp_dir = str(workdir / "latent")
+    if not os.path.isdir(os.path.join(exp_dir, "last")):
+        pytest.skip("needs test_full_pipeline's latent checkpoint")
+    out_dir = str(workdir / "eval_ddim")
+    summary = test_cli.main([
+        "--experiment", "latent", "--model", "diffusion",
+        "--vae_ckpt", str(workdir / "vq"), "--latent_ckpt", exp_dir,
+        "--data_dir", str(workdir / "shards"), "--out_dir", out_dir,
+        "--num_sampling_steps", "4", "--num_ensemble", "2",
+        "--stats_name", "TEST", "--stats_dir", str(workdir / "stats"),
+        "--batch_size", "2", "--sampler", "ddim",
+    ])
+    g = summary["__global__"]
+    assert np.isfinite(g["rmsd"]) and np.isfinite(g["div"])
+
+
 def test_pdb_roundtrip(workdir):
     """write_pdb -> parse_pdb preserves structure."""
     from codlad_tpu.data.pdb import parse_pdb, write_pdb
