@@ -136,6 +136,29 @@ def iter_padded_batches(data, batch_size, idx, n_valid=None):
         yield out
 
 
+def class_shuffle_order(labels, rng):
+    """Class-contiguous shuffled index order: shuffle indices WITHIN each
+    label, shuffle the label order, concatenate (the reference's
+    ShuffleSampler, utils/dataset_module.py:351-380 — unused on its main
+    path but part of the component surface).  The streaming loaders below
+    realize the same semantics implicitly (shards shuffle internally,
+    shard order shuffles, batches never straddle a shard in ShardDataset);
+    this explicit form covers consumers holding a flat indexable dataset.
+
+    labels: int array [N] (e.g. prot_idx per sample).  rng: numpy
+    Generator.  Returns an int array permutation of arange(N).
+    """
+    labels = np.asarray(labels)
+    out = []
+    uniq = list(np.unique(labels))
+    rng.shuffle(uniq)
+    for lab in uniq:
+        idx = np.flatnonzero(labels == lab)
+        rng.shuffle(idx)
+        out.append(idx)
+    return np.concatenate(out) if out else np.zeros(0, np.int64)
+
+
 class ShardDataset:
     """Streams frame batches from a directory of per-protein shards.
 

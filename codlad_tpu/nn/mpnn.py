@@ -22,12 +22,13 @@ from codlad_tpu.kernels.mpnn_kernels import (fused_message_edge,
 
 
 def gather_nodes(nodes, neighbor_idx):
-    """nodes [B,N,C], idx [B,N,K] -> [B,N,K,C]."""
-    B, N, C = nodes.shape
-    K = neighbor_idx.shape[-1]
-    flat = neighbor_idx.reshape(B, N * K, 1)
+    """nodes [B,N,C], idx [B,M,K] -> [B,M,K,C] (M may differ from N, e.g.
+    single-position rows in the autoregressive decode)."""
+    B, _, C = nodes.shape
+    M, K = neighbor_idx.shape[1], neighbor_idx.shape[-1]
+    flat = neighbor_idx.reshape(B, M * K, 1)
     out = jnp.take_along_axis(nodes, flat, axis=1)
-    return out.reshape(B, N, K, C)
+    return out.reshape(B, M, K, C)
 
 
 def make_neighbor_gather(E_idx, mode="auto", dtype=jnp.bfloat16):
@@ -229,7 +230,13 @@ class CAProteinFeatures(nn.Module):
                     == chain_labels[:, :, None]).astype(jnp.int32)
         E_positional = PositionalEncodings(self.num_positional_embeddings)(offset, E_chains)
 
-        E = jnp.concatenate([E_positional, rbf_all, O_features], axis=-1)
+        # follow the coordinate dtype: linspace/one_hot default to f32 and
+        # would otherwise promote the whole [B, L, K, ~420] edge stack —
+        # and the downstream Dense/LayerNorm/W_e chain — to f32 under
+        # bf16 training (measured ~4 ms/step of f32 traffic + layout
+        # copies at B=128, L=128 on v5e)
+        E = jnp.concatenate([E_positional, rbf_all, O_features],
+                            axis=-1).astype(Ca.dtype)
         E = nn.Dense(self.edge_features, use_bias=False)(E)
         E = nn.LayerNorm()(E)
         return E, E_idx
@@ -529,7 +536,7 @@ class ProteinFeatures(nn.Module):
         E_chains = (gather_neighbors(chain_labels[..., None], nbr)[..., 0]
                     == chain_labels[:, :, None]).astype(jnp.int32)
         E_positional = PositionalEncodings(self.num_positional_embeddings)(offset, E_chains)
-        E = jnp.concatenate([E_positional, rbf_all], axis=-1)
+        E = jnp.concatenate([E_positional, rbf_all], axis=-1).astype(X.dtype)
         E = nn.Dense(self.edge_features, use_bias=False)(E)
         E = nn.LayerNorm()(E)
         return E, E_idx
