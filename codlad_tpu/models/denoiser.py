@@ -109,14 +109,17 @@ class MPNNDenoiser(nn.Module):
                                  rng=augment_rng)
         h_E0 = self.w_e(E)
         h_S = self.w_s(res_type)
-        mask_attend = gather_nodes(maskf[..., None], E_idx)[..., 0]
-        mask_attend = maskf[..., None] * mask_attend
         # 'auto': a [B, L*K, L] one-hot is materialized for L <= 256 and
         # fed to the fused chains as an HBM operand — device traces show
         # its per-tile DMA overlaps the MXU (free), while iota-building it
         # in VMEM put ~0.4 ms/chain of int32 compare work on the serial
         # VPU path.  Beyond L=256 the chains iota-build in VMEM instead.
         nbr = make_neighbor_gather(E_idx, mode=self.gather_mode)
+        # neighbor-mask gather through the one-hot matmul where available:
+        # the 1-channel dynamic take_along_axis measured 10.8 ms/step on
+        # v5e at B=128/L=128 (the single most expensive op in the step)
+        mask_attend = gather_neighbors(maskf[..., None], nbr)[..., 0]
+        mask_attend = maskf[..., None] * mask_attend
         return {"nbr": nbr, "h_E0": h_E0, "h_S": h_S, "maskf": maskf,
                 "mask_attend": mask_attend}
 
