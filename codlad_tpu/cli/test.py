@@ -46,6 +46,11 @@ def build_parser():
                         "(the reference's only sampler)")
     p.add_argument("--ddim_eta", type=float, default=0.0,
                    help="DDIM stochasticity (0 = deterministic)")
+    p.add_argument("--seq_shards", type=int, default=0,
+                   help="shard the residue dimension over this many devices "
+                        "(ring-kNN sequence parallelism, parallel/"
+                        "sequence.py) — for chains too long for one chip; "
+                        "requires the padded length to divide evenly")
     p.add_argument("--rtol", type=float, default=1e-5,
                    help="dopri5 relative tolerance (reference test.py:235)")
     p.add_argument("--atol", type=float, default=1e-5,
@@ -261,7 +266,8 @@ def main(argv=None):
         ode_steps=args.num_sampling_steps, ode_method=args.method,
         ode_rtol=args.rtol, ode_atol=args.atol,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
-        sampler=args.sampler or "ancestral", ddim_eta=args.ddim_eta)
+        sampler=args.sampler or "ancestral", ddim_eta=args.ddim_eta,
+        seq_shards=args.seq_shards)
 
     data = ShardDataset(args.data_dir, args.batch_size, shuffle=False)
     # built ONCE so its inner jit cache persists across proteins/ensembles

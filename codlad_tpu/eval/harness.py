@@ -55,6 +55,11 @@ class SamplingPipeline:
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for fast sampling
     sampler: str = "ancestral"  # diffusion only: 'ancestral' | 'ddim'
     ddim_eta: float = 0.0       # eta=0 deterministic; eta=1 ~ ancestral
+    seq_shards: int = 0         # >0: shard the residue dim over the first
+    #                             seq_shards devices (ring-kNN sequence
+    #                             parallelism, parallel/sequence.py) — for
+    #                             chains too long for one chip's HBM.
+    #                             Requires L % seq_shards == 0.
 
     # All jitted functions take arrays as ARGUMENTS (never as closure
     # captures) — captured arrays would be inlined into the XLA program as
@@ -134,6 +139,43 @@ class SamplingPipeline:
                         atol=self.ode_atol)
         return out
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _sample_sharded(self, rng, params, res_type, cg_xyz, mask, noise):
+        """Sequence-sharded sampling: conditioning AND the denoise scan run
+        inside one shard_map over a 'seq' mesh — the O(L²) kNN is
+        ring-streamed, [B, L, K, ·] edge tensors stay sharded, per-node
+        tables all-gather (parallel/sequence.py).  Same params as dense."""
+        from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        n = self.seq_shards
+        mesh = Mesh(np.array(jax.devices()[:n]), ("seq",))
+        model_sp = self.denoiser.clone(seq=("seq", n))
+
+        def f(params, res, cg, m, noise, rng):
+            # independent per-shard noise streams for the local rows
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("seq"))
+            cond = model_sp.apply(params, res, cg, m,
+                                  method=type(model_sp).compute_condition)
+            cond = self._cast(cond)
+
+            def model_fn(x, t, k, x_self_cond=None):
+                xin = (x if self.compute_dtype is None
+                       else x.astype(self.compute_dtype))
+                out = model_sp.apply(params, xin, t, cond,
+                                     x_self_cond=x_self_cond,
+                                     deterministic=True,
+                                     method=type(model_sp).denoise)
+                return out.astype(jnp.float32)
+
+            return self._run_process(rng, model_fn, noise)
+
+        fn = shard_map(f, mesh=mesh,
+                       in_specs=(P(), P(None, "seq"), P(None, "seq", None),
+                                 P(None, "seq"), P(None, "seq", None), P()),
+                       out_specs=P(None, "seq", None))
+        return fn(params, res_type, cg_xyz, mask, noise, rng)
+
     def sample_latents(self, rng, extras, params=None):
         """Draw normalized latents [B, L, latent_size] given CG conditioning."""
         params = self.denoiser_params if params is None else params
@@ -141,6 +183,17 @@ class SamplingPipeline:
         B, L = extras["res_type"].shape
         rng, sub = jax.random.split(rng)
         z = jax.random.normal(sub, (B, L, self.latent_size))
+        if self.seq_shards:
+            if (self.cfg_scale and self.cfg_scale != 0.0) or self.doubled_batch:
+                raise NotImplementedError(
+                    "--seq_shards composes with plain sampling only "
+                    "(cfg/doubled-batch guidance not yet sharded)")
+            if L % self.seq_shards:
+                raise ValueError(
+                    f"sequence length {L} must divide by seq_shards="
+                    f"{self.seq_shards} (pick a compatible padding bucket)")
+            return self._sample_sharded(rng, params, extras["res_type"],
+                                        extras["cg_xyz"], extras["mask"], z)
         if self.cfg_scale and self.cfg_scale != 0.0:
             # guidance's unconditional surrogate: the NULL residue token
             # (vocab-1), the id --class_dropout_prob trains for exactly

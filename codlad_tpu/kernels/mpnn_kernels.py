@@ -105,9 +105,11 @@ from codlad_tpu.kernels.meshing import (set_kernel_mesh,  # noqa: F401
 
 
 def _gather_nbr(Gn, idx):
-    B, L, H = Gn.shape
-    K = idx.shape[-1]
-    return jnp.take_along_axis(Gn, idx.reshape(B, L * K, 1), axis=1).reshape(B, L, K, H)
+    # row count comes from idx, not the table: under sequence sharding the
+    # node table Gn holds the FULL L while idx covers this shard's rows
+    B, _, H = Gn.shape
+    M, K = idx.shape[1], idx.shape[-1]
+    return jnp.take_along_axis(Gn, idx.reshape(B, M * K, 1), axis=1).reshape(B, M, K, H)
 
 
 def _ref_message(A, E, Gn, idx, W_e, W2, b2, W3, b3):
@@ -303,18 +305,23 @@ def _sel_operand(idx, onehot, dt, TL):
     """(operand, BlockSpec, has_oh) for the selection input."""
     B, L, K = idx.shape
     if onehot is not None:
-        spec = pl.BlockSpec((1, TL * K, L), lambda b, i: (b, i, 0))
+        # last dim is the gather-TABLE length (== L except under sequence
+        # sharding, where local rows index a full-length table)
+        spec = pl.BlockSpec((1, TL * K, onehot.shape[-1]),
+                            lambda b, i: (b, i, 0))
         return onehot.astype(dt), spec, True
     spec = pl.BlockSpec((1, TL, K), lambda b, i: (b, i, 0))
     return idx, spec, False
 
 
-def _common_specs(TL, K, H, L):
-    """BlockSpecs shared by every kernel: A, E, Gn."""
+def _common_specs(TL, K, H, N):
+    """BlockSpecs shared by every kernel: A, E, Gn.  N is the node-TABLE
+    length (Gn.shape[1]) — equal to the row count except under sequence
+    sharding."""
     return [
         pl.BlockSpec((1, TL, H), lambda b, i: (b, i, 0)),
         pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0)),
-        pl.BlockSpec((1, L, H), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, N, H), lambda b, i: (b, 0, 0)),
     ]
 
 
@@ -339,7 +346,7 @@ def _pallas_message_sum(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, b3,
     out = pl.pallas_call(
         functools.partial(_sum_kernel, has_oh=has_oh),
         grid=grid,
-        in_specs=([sel_spec] + _common_specs(TL, K, H, L)
+        in_specs=([sel_spec] + _common_specs(TL, K, H, Gn.shape[1])
                   + [pl.BlockSpec((1, TL, K), lambda b, i: (b, i, 0))]
                   + _weight_specs(H)),
         out_specs=pl.BlockSpec((1, TL, H), lambda b, i: (b, i, 0)),
@@ -361,7 +368,7 @@ def _pallas_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
     return pl.pallas_call(
         functools.partial(_edge_kernel, has_oh=has_oh),
         grid=grid,
-        in_specs=[sel_spec] + _common_specs(TL, K, H, L) + _weight_specs(H),
+        in_specs=[sel_spec] + _common_specs(TL, K, H, Gn.shape[1]) + _weight_specs(H),
         out_specs=pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, L, K, H), E.dtype),
         cost_estimate=_chain_cost(B, L, K, H, TL),
@@ -413,7 +420,7 @@ def _pallas_message_edge_lnmod(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3,
                           drop_p=drop_p if seeds is not None else 0.0,
                           debug_mask=debug_mask),
         grid=grid,
-        in_specs=([sel_spec] + _common_specs(TL, K, H, L) + _weight_specs(H)
+        in_specs=([sel_spec] + _common_specs(TL, K, H, Gn.shape[1]) + _weight_specs(H)
                   + [mod_spec, mod_spec, mod_spec] + extra_specs),
         out_specs=out_specs,
         out_shape=out_shape,
@@ -679,7 +686,7 @@ def _pallas_sum_bwd(A, E, Gn, idx, onehot, mask, W_e, W2, b2, W3, dout):
     return pl.pallas_call(
         functools.partial(_sum_bwd_kernel, has_oh=has_oh),
         grid=(B, L // TL),
-        in_specs=([sel_spec] + _common_specs(TL, K, H, L)
+        in_specs=([sel_spec] + _common_specs(TL, K, H, Gn.shape[1])
                   + [pl.BlockSpec((1, TL, K), lambda b, i: (b, i, 0))]
                   + _weight_specs(H)[:3]
                   + [pl.BlockSpec((H, H), lambda b, i: (0, 0)),
@@ -702,7 +709,7 @@ def _pallas_edge_bwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, dout):
     return pl.pallas_call(
         functools.partial(_edge_bwd_kernel, has_oh=has_oh),
         grid=(B, L // TL),
-        in_specs=([sel_spec] + _common_specs(TL, K, H, L)
+        in_specs=([sel_spec] + _common_specs(TL, K, H, Gn.shape[1])
                   + _weight_specs(H)[:3]
                   + [pl.BlockSpec((H, H), lambda b, i: (0, 0)),
                      pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0))]),
@@ -741,7 +748,7 @@ def _pallas_edge_lnmod_bwd(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3,
                           has_keep=keep is not None,
                           drop_p=drop_p if seeds is not None else 0.0),
         grid=(B, L // TL),
-        in_specs=([sel_spec] + _common_specs(TL, K, H, L)
+        in_specs=([sel_spec] + _common_specs(TL, K, H, Gn.shape[1])
                   + _weight_specs(H)
                   + [mod_spec, mod_spec] + extra_specs + [edge_spec]),
         out_specs=d_specs + w_specs + [mod_spec, mod_spec, mod_spec],

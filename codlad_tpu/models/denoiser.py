@@ -59,6 +59,11 @@ class MPNNDenoiser(nn.Module):
     final_adln: bool = True
     gather_mode: str = "auto"  # see nn.mpnn.make_neighbor_gather
     adaln_mode: str = "trunk"  # 'trunk' (reference) | 'residual' (DiT-style)
+    seq: tuple | None = None   # (axis_name, n_shards): residue dim sharded
+    #                            over a mesh axis (use inside shard_map).
+    #                            Same params as the dense model; the O(L^2)
+    #                            kNN is ring-streamed and node tables are
+    #                            all-gathered (parallel/sequence.py)
     remat: bool = False        # rematerialize layer activations in the
     #                            backward (jax.checkpoint): trades ~1/3 more
     #                            FLOPs for O(layers) less activation HBM —
@@ -87,7 +92,7 @@ class MPNNDenoiser(nn.Module):
         Dec = (nn.remat(DecLayerDiffusion, static_argnums=(9, 10))
                if self.remat else DecLayerDiffusion)
         self.enc_layers = [Enc(h, h * 2, dropout=self.dropout,
-                               gate_mode=self.adaln_mode)
+                               gate_mode=self.adaln_mode, seq=self.seq)
                            for _ in range(self.num_encoder_layers)]
         self.dec_layers = [Dec(h, h * 3, dropout=self.dropout,
                                gate_mode=self.adaln_mode)
@@ -103,10 +108,22 @@ class MPNNDenoiser(nn.Module):
         attention masks, sequence embedding. Compute once per batch."""
         B, L = res_type.shape
         maskf = mask.astype(cg_xyz.dtype)
-        residue_idx = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
+        if self.seq is not None:
+            # rows are this shard's block; positions must be GLOBAL
+            from codlad_tpu.parallel.sequence import seq_all_gather
+            axis, n_shards = self.seq
+            start = jax.lax.axis_index(axis) * L
+            residue_idx = jnp.broadcast_to(
+                start + jnp.arange(L)[None, :], (B, L))
+            mask_table = seq_all_gather(maskf, axis)
+            n_nodes = L * n_shards
+        else:
+            residue_idx = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
+            mask_table = maskf
+            n_nodes = L
         chain_labels = jnp.ones((B, L), dtype=cg_xyz.dtype)
         E, E_idx = self.features(cg_xyz, maskf, residue_idx, chain_labels,
-                                 rng=augment_rng)
+                                 rng=augment_rng, seq=self.seq)
         h_E0 = self.w_e(E)
         h_S = self.w_s(res_type)
         # 'auto': a [B, L*K, L] one-hot is materialized for L <= 256 and
@@ -114,11 +131,12 @@ class MPNNDenoiser(nn.Module):
         # its per-tile DMA overlaps the MXU (free), while iota-building it
         # in VMEM put ~0.4 ms/chain of int32 compare work on the serial
         # VPU path.  Beyond L=256 the chains iota-build in VMEM instead.
-        nbr = make_neighbor_gather(E_idx, mode=self.gather_mode)
+        nbr = make_neighbor_gather(E_idx, mode=self.gather_mode,
+                                   n_nodes=n_nodes)
         # neighbor-mask gather through the one-hot matmul where available:
         # the 1-channel dynamic take_along_axis measured 10.8 ms/step on
         # v5e at B=128/L=128 (the single most expensive op in the step)
-        mask_attend = gather_neighbors(maskf[..., None], nbr)[..., 0]
+        mask_attend = gather_neighbors(mask_table[..., None], nbr)[..., 0]
         mask_attend = maskf[..., None] * mask_attend
         return {"nbr": nbr, "h_E0": h_E0, "h_S": h_S, "maskf": maskf,
                 "mask_attend": mask_attend}
@@ -153,6 +171,22 @@ class MPNNDenoiser(nn.Module):
         # block (2 or 1)*h_S, node block h_V + h_V_encoder.
         h_V_enc = h_V
         s_scale = 2.0 if self.use_seq_in_encoder else 1.0
+
+        if self.seq is not None:
+            if self.decoder_mask:
+                raise NotImplementedError(
+                    "decoder_mask (the reference's dead autoregressive "
+                    "path) is not supported under sequence sharding")
+            from codlad_tpu.parallel.sequence import seq_all_gather
+            axis = self.seq[0]
+            s_full = seq_all_gather(s_scale * h_S, axis)
+            for layer in self.dec_layers:
+                h_V = layer(h_V, nbr, h_E, s_full,
+                            seq_all_gather(h_V + h_V_enc, axis),
+                            maskf, None, c, deterministic, 2.0)
+            if self.final_adln:
+                return self.w_out(h_V, c)
+            return self.w_out(h_V)
 
         if self.decoder_mask:
             # Autoregressive-style masking from a random decoding order

@@ -31,7 +31,8 @@ def gather_nodes(nodes, neighbor_idx):
     return out.reshape(B, M, K, C)
 
 
-def make_neighbor_gather(E_idx, mode="auto", dtype=jnp.bfloat16):
+def make_neighbor_gather(E_idx, mode="auto", dtype=jnp.bfloat16,
+                         n_nodes=None):
     """Neighbor-gather operand: {'idx': [B,L,K]} plus, in one-hot mode, the
     selection matrix {'onehot': [B, L*K, L]}.
 
@@ -48,22 +49,29 @@ def make_neighbor_gather(E_idx, mode="auto", dtype=jnp.bfloat16):
     consumed only by the fused Pallas chains, which build their selection
     matrices on the fly in VMEM (kernels/mpnn_kernels.py) and never want
     the [B, L*K, L] tensor in HBM.
+
+    n_nodes: the gather-table length when it differs from the index rows
+    (sequence-sharded runs: local rows, global indices into the full
+    table).
     """
     B, L, K = E_idx.shape
+    N = n_nodes if n_nodes is not None else L
     nbr = {"idx": E_idx}
-    if mode == "onehot" or (mode == "auto" and L <= 256):
-        nbr["onehot"] = jax.nn.one_hot(E_idx.reshape(B, L * K), L, dtype=dtype)
+    if mode == "onehot" or (mode == "auto" and N <= 256):
+        nbr["onehot"] = jax.nn.one_hot(E_idx.reshape(B, L * K), N, dtype=dtype)
     return nbr
 
 
 def gather_neighbors(nodes, nbr):
-    """nodes [B,L,C] -> [B,L,K,C] via idx or one-hot matmul."""
+    """nodes [B,N,C] -> [B,M,K,C] via idx or one-hot matmul (M = the
+    index rows; N = the table length — they differ under sequence
+    sharding)."""
     if "onehot" in nbr:
-        B, L, C = nodes.shape
-        K = nbr["idx"].shape[-1]
+        B, C = nodes.shape[0], nodes.shape[-1]
+        M, K = nbr["idx"].shape[1], nbr["idx"].shape[2]
         oh = nbr["onehot"]
         out = jnp.einsum("bnl,blh->bnh", oh, nodes.astype(oh.dtype))
-        return out.reshape(B, L, K, C).astype(nodes.dtype)
+        return out.reshape(B, M, K, C).astype(nodes.dtype)
     return gather_nodes(nodes, nbr["idx"])
 
 
@@ -169,64 +177,88 @@ class CAProteinFeatures(nn.Module):
         D_nbr = jnp.sqrt(jnp.sum((A[:, :, None, :] - Bn) ** 2, axis=-1) + 1e-6)
         return self._rbf(D_nbr)
 
-    def _orientations(self, X, nbr, eps=1e-6):
-        E_idx = nbr["idx"]
+    def _frames(self, X):
+        """Per-node local backbone frames O [B, L, 9] from the Ca chain
+        (the per-node half of the reference's _orientations_coarse,
+        protein_mpnn_utils.py:397-443)."""
         dX = X[:, 1:, :] - X[:, :-1, :]
         dX_norm = jnp.linalg.norm(dX, axis=-1)
         dX_mask = ((3.6 < dX_norm) & (dX_norm < 4.0)).astype(X.dtype)
         dX = dX * dX_mask[..., None]
         U = _normalize(dX)
-        u_2, u_1, u_0 = U[:, :-2], U[:, 1:-1], U[:, 2:]
+        u_2, u_1 = U[:, :-2], U[:, 1:-1]
         n_2 = _normalize(jnp.cross(u_2, u_1))
-        n_1 = _normalize(jnp.cross(u_1, u_0))
-
-        cosA = jnp.clip(-(u_1 * u_0).sum(-1), -1 + eps, 1 - eps)
-        A = jnp.arccos(cosA)
-        cosD = jnp.clip((n_2 * n_1).sum(-1), -1 + eps, 1 - eps)
-        D = jnp.sign((u_2 * n_1).sum(-1)) * jnp.arccos(cosD)
-        AD = jnp.stack([jnp.cos(A), jnp.sin(A) * jnp.cos(D), jnp.sin(A) * jnp.sin(D)], axis=2)
-        AD = jnp.pad(AD, ((0, 0), (1, 2), (0, 0)))
-
         o_1 = _normalize(u_2 - u_1)
         O = jnp.stack([o_1, n_2, jnp.cross(o_1, n_2)], axis=2)
         O = O.reshape(O.shape[0], O.shape[1], 9)
-        O = jnp.pad(O, ((0, 0), (1, 2), (0, 0)))
-        O_neighbors = gather_neighbors(O, nbr)
-        X_neighbors = gather_neighbors(X, nbr)
+        return jnp.pad(O, ((0, 0), (1, 2), (0, 0)))
 
-        Om = O.reshape(O.shape[0], O.shape[1], 3, 3)
+    def _orient_edges(self, X_rows, O_rows, X_full, O_full, nbr):
+        """Per-edge orientation features (direction + quaternion) for the
+        local rows, gathering neighbor frames/coords from the full
+        tables."""
+        O_neighbors = gather_neighbors(O_full, nbr)
+        X_neighbors = gather_neighbors(X_full, nbr)
+        Om = O_rows.reshape(O_rows.shape[0], O_rows.shape[1], 3, 3)
         On = O_neighbors.reshape(O_neighbors.shape[:3] + (3, 3))
-        dXn = X_neighbors - X[:, :, None, :]
+        dXn = X_neighbors - X_rows[:, :, None, :]
         dU = _normalize(jnp.einsum("blij,blkj->blki", Om, dXn))
         Rmat = jnp.einsum("blji,blkjm->blkim", Om, On)
         Q = _quaternions(Rmat)
-        return AD, jnp.concatenate([dU, Q], axis=-1)
+        return jnp.concatenate([dU, Q], axis=-1)
 
     @nn.compact
-    def __call__(self, Ca, mask, residue_idx, chain_labels, rng=None):
+    def __call__(self, Ca, mask, residue_idx, chain_labels, rng=None,
+                 seq=None):
+        """seq=(axis_name, n_shards): sequence-sharded mode — Ca/mask/
+        residue_idx/chain_labels hold this shard's rows, residue_idx
+        carries GLOBAL positions, and the returned E_idx holds global
+        indices.  The O(L²) distance/top-k is ring-streamed
+        (parallel/sequence.ring_knn); per-node O(L) tables are
+        all-gathered.  Parameters are identical to the dense mode."""
         if self.augment_eps > 0 and rng is not None:
             Ca = Ca + self.augment_eps * jax.random.normal(rng, Ca.shape, Ca.dtype)
 
-        D_neighbors, E_idx = self._dist(Ca, mask)
-        nbr = make_neighbor_gather(E_idx, mode=self.gather_mode)
+        if seq is None:
+            D_neighbors, E_idx = self._dist(Ca, mask)
+            Ca_full, res_full, chain_full = Ca, residue_idx, chain_labels
+            n_nodes = Ca.shape[1]
+            loc = lambda tbl: tbl
+        else:
+            from codlad_tpu.parallel.sequence import (local_rows, ring_knn,
+                                                      seq_all_gather)
+            axis, n_shards = seq
+            n_nodes = Ca.shape[1] * n_shards
+            D_neighbors, E_idx = ring_knn(Ca, mask,
+                                          min(self.top_k, n_nodes),
+                                          axis, n_shards)
+            Ca_full = seq_all_gather(Ca, axis)
+            res_full = seq_all_gather(residue_idx, axis)
+            chain_full = seq_all_gather(chain_labels, axis)
+            loc = lambda tbl: local_rows(tbl, axis, n_shards)
 
-        Ca_0 = jnp.pad(Ca[:, :-1], ((0, 0), (1, 0), (0, 0)))
-        Ca_1 = Ca
-        Ca_2 = jnp.pad(Ca[:, 1:], ((0, 0), (0, 1), (0, 0)))
+        nbr = make_neighbor_gather(E_idx, mode=self.gather_mode,
+                                   n_nodes=n_nodes)
 
-        _, O_features = self._orientations(Ca, nbr)
+        Ca_0 = jnp.pad(Ca_full[:, :-1], ((0, 0), (1, 0), (0, 0)))
+        Ca_1 = Ca_full
+        Ca_2 = jnp.pad(Ca_full[:, 1:], ((0, 0), (0, 1), (0, 0)))
+
+        O_full = self._frames(Ca_full)
+        O_features = self._orient_edges(loc(Ca_full), loc(O_full),
+                                        Ca_full, O_full, nbr)
 
         rbf_all = [self._rbf(D_neighbors)]
         for A, Bc in [(Ca_0, Ca_0), (Ca_2, Ca_2), (Ca_0, Ca_1), (Ca_0, Ca_2),
                       (Ca_1, Ca_0), (Ca_1, Ca_2), (Ca_2, Ca_0), (Ca_2, Ca_1)]:
-            rbf_all.append(self._get_rbf(A, Bc, nbr))
+            rbf_all.append(self._get_rbf(loc(A), Bc, nbr))
         rbf_all = jnp.concatenate(rbf_all, axis=-1)
 
-        # residue_idx is an arange per sample, so relative offsets derive
-        # directly from the neighbor indices (no gather)
+        # residue_idx is an arange per sample (global under seq), so
+        # relative offsets derive from gathered neighbor positions
         offset = residue_idx[:, :, None] - gather_neighbors(
-            residue_idx[..., None].astype(jnp.float32), nbr)[..., 0].astype(residue_idx.dtype)
-        E_chains = (gather_neighbors(chain_labels[..., None], nbr)[..., 0]
+            res_full[..., None].astype(jnp.float32), nbr)[..., 0].astype(residue_idx.dtype)
+        E_chains = (gather_neighbors(chain_full[..., None], nbr)[..., 0]
                     == chain_labels[:, :, None]).astype(jnp.int32)
         E_positional = PositionalEncodings(self.num_positional_embeddings)(offset, E_chains)
 
@@ -344,6 +376,7 @@ class EncLayerDiffusion(nn.Module):
     dropout: float = 0.1
     scale: float = 30.0
     gate_mode: str = "trunk"  # 'trunk' (reference) | 'residual' (DiT-style)
+    seq: tuple | None = None  # (axis_name, n_shards) sequence sharding
 
     @nn.compact
     def __call__(self, h_V, h_E, nbr, mask_V=None, mask_attend=None, c=None,
@@ -354,6 +387,14 @@ class EncLayerDiffusion(nn.Module):
 
         ln = lambda: nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        # gather tables: with rows sharded over the sequence axis, the
+        # chains gather neighbor state from the all-gathered full table
+        # ([B, L, H] — cheap; the [B, L, K, H] edge work stays sharded)
+        if self.seq is not None:
+            from codlad_tpu.parallel.sequence import seq_all_gather
+            tbl = lambda v: seq_all_gather(v, self.seq[0])
+        else:
+            tbl = lambda v: v
 
         if self.gate_mode == "residual":
             # DiT-style: gates scale the BRANCH, identity at init (the
@@ -361,7 +402,7 @@ class EncLayerDiffusion(nn.Module):
             # protein_mpnn_utils.py:249,270 — see ROADMAP 7)
             x = modulate(ln()(h_V), sh1, sc1)
             dh = SplitMessageChain(self.num_hidden, reduce_sum=True,
-                                   scale=self.scale)(x, h_E, x, nbr,
+                                   scale=self.scale)(x, h_E, tbl(x), nbr,
                                                      mask_attend=mask_attend)
             h_V = h_V + g1[:, None, :] * drop(dh.astype(h_V.dtype))
             x = modulate(ln()(h_V), sh2, sc2)
@@ -370,12 +411,12 @@ class EncLayerDiffusion(nn.Module):
             if mask_V is not None:
                 h_V = mask_V[..., None] * h_V
             xe = modulate(ln()(h_E), sh3, sc3)
-            h_message = SplitMessageChain(self.num_hidden)(h_V, xe, h_V, nbr)
+            h_message = SplitMessageChain(self.num_hidden)(h_V, xe, tbl(h_V), nbr)
             h_E = h_E + g3[:, None, None, :] * drop(h_message.astype(h_E.dtype))
             return h_V, h_E
 
         dh = SplitMessageChain(self.num_hidden, reduce_sum=True,
-                               scale=self.scale)(h_V, h_E, h_V, nbr,
+                               scale=self.scale)(h_V, h_E, tbl(h_V), nbr,
                                                  mask_attend=mask_attend)
         h_V = ln()(h_V + drop(dh.astype(h_V.dtype)))
         h_V = g1[:, None, :] * modulate(h_V, sh1, sc1)
@@ -389,7 +430,7 @@ class EncLayerDiffusion(nn.Module):
         if deterministic or self.dropout == 0.0:
             # dropout is identity: fold LN + modulate/gate into the kernel
             h_E = SplitMessageChain(self.num_hidden)(
-                h_V, h_E, h_V, nbr, ln_mod=(sh3, sc3, g3))
+                h_V, h_E, tbl(h_V), nbr, ln_mod=(sh3, sc3, g3))
         else:
             # training: dropout fused into the same kernel epilogue, mask
             # generated IN VMEM by the hardware PRNG from per-sample seeds
@@ -400,7 +441,7 @@ class EncLayerDiffusion(nn.Module):
                                        np.iinfo(np.int32).max,
                                        dtype=jnp.int32)
             h_E = SplitMessageChain(self.num_hidden)(
-                h_V, h_E, h_V, nbr, ln_mod=(sh3, sc3, g3),
+                h_V, h_E, tbl(h_V), nbr, ln_mod=(sh3, sc3, g3),
                 pdrop=(seeds, self.dropout))
         return h_V, h_E
 
