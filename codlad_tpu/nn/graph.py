@@ -103,7 +103,6 @@ class PallasEdgeOps:
     edges: Any  # [B, E, 2]
     mask: Any   # [B, E] float
     n_nodes: int
-    deg: Any    # [B, N] float (for mean reduction)
 
     def gather_src(self, nodes):
         from codlad_tpu.kernels.edge_kernels import edge_gather
@@ -117,11 +116,20 @@ class PallasEdgeOps:
 
     def aggregate_to_src(self, msgs, reduce="sum"):
         from codlad_tpu.kernels.edge_kernels import edge_aggregate
-        out = edge_aggregate(self.edges[..., 0], self.mask, msgs,
-                             self.n_nodes).astype(msgs.dtype)
         if reduce == "mean":
-            out = out / jnp.maximum(self.deg[..., None], 1.0).astype(msgs.dtype)
-        return out
+            # degree rides the SAME kernel call as one extra payload lane
+            # (counts <= 256 are exact in bf16): a standalone 1-lane
+            # degree aggregate pays the full per-tile one-hot build for
+            # one lane of payload — measured 2.8 ms/step on v5e at the
+            # dense profile shape
+            ones = jnp.ones(msgs.shape[:2] + (1,), msgs.dtype)
+            out = edge_aggregate(self.edges[..., 0], self.mask,
+                                 jnp.concatenate([msgs, ones], axis=-1),
+                                 self.n_nodes)
+            s, deg = out[..., :-1], out[..., -1:]
+            return (s / jnp.maximum(deg, 1.0)).astype(msgs.dtype)
+        return edge_aggregate(self.edges[..., 0], self.mask, msgs,
+                              self.n_nodes).astype(msgs.dtype)
 
 
 def _pallas_available():
@@ -154,10 +162,7 @@ def make_edge_ops(edges, mask, n_nodes, dtype=jnp.bfloat16,
     use_pallas = _pallas_available() and (prefer_pallas
                                           or bytes_needed > dense_limit_bytes)
     if use_pallas:
-        from codlad_tpu.kernels.edge_kernels import edge_aggregate
-        ones = jnp.ones((B, E, 1), jnp.float32)
-        deg = edge_aggregate(edges[..., 0], maskf, ones, n_nodes)[..., 0]
-        return PallasEdgeOps(edges=edges, mask=maskf, n_nodes=n_nodes, deg=deg)
+        return PallasEdgeOps(edges=edges, mask=maskf, n_nodes=n_nodes)
     if bytes_needed <= dense_limit_bytes:
         m = maskf.astype(dtype)[..., None]
         src_oh = jax.nn.one_hot(edges[..., 0], n_nodes, dtype=dtype) * m
@@ -167,7 +172,12 @@ def make_edge_ops(edges, mask, n_nodes, dtype=jnp.bfloat16,
 
 
 def make_directed_batched(edges, mask):
-    """[B, E, 2] one-way edges -> [B, 2E, 2] both directions."""
-    rev = edges[..., ::-1]
-    return (jnp.concatenate([edges, rev], axis=1),
-            jnp.concatenate([mask, mask], axis=1))
+    """[B, E, 2] one-way edges -> [B, 2E, 2] both directions.
+
+    Built from lane slices (src' = [e0;e1], dst' = [e1;e0]) rather than a
+    minor-dim reverse + concat: the s32 reverse forced a full retile that
+    measured ~0.8 ms/step at the dense profile shape."""
+    e0, e1 = edges[..., :1], edges[..., 1:]
+    return (jnp.concatenate(
+        [edges, jnp.concatenate([e1, e0], axis=-1)], axis=1),
+        jnp.concatenate([mask, mask], axis=1))
