@@ -92,6 +92,15 @@ def build_parser():
                         "with the null residue token (vocab-1) with this "
                         "probability (reference ships class_dropout 0 and "
                         "a broken cfg path; this trains a real one)")
+    p.add_argument("--seq_shards", type=int, default=0,
+                   help="train with the residue dimension sharded over this "
+                        "many devices (ring-kNN sequence parallelism, "
+                        "parallel/sequence.py) — for chains too long for "
+                        "one chip's HBM; composes with data parallelism "
+                        "over the remaining devices (2-D data x seq mesh). "
+                        "Requires every bucket's padded length to divide "
+                        "evenly; checkpoints are interchangeable with "
+                        "dense-trained ones")
     p.add_argument("--t_sampler", type=str, default="uniform",
                    choices=["uniform", "loss_second_moment"],
                    help="diffusion timestep schedule sampler (the reference "
@@ -226,15 +235,32 @@ def main(argv=None):
     logger.info(f"args: {vars(args)}")
 
     n_dev = jax.device_count()
-    mesh = mesh_mod.make_mesh(n_dev)
-    logger.info(f"data-parallel over {n_dev} device(s), "
-                f"process {pidx}/{pcount}")
-    if n_dev > 1:
-        # batch-partitioned Pallas execution: without this, GSPMD
-        # all-gathers the kernels' operands and runs them replicated on
-        # every chip (kernels/mpnn_kernels.py:set_kernel_mesh)
-        from codlad_tpu.kernels.mpnn_kernels import set_kernel_mesh
-        set_kernel_mesh(mesh)
+    seq_mesh = None
+    if args.seq_shards > 1:
+        n_sp = args.seq_shards
+        if n_dev % n_sp:
+            raise SystemExit(f"--seq_shards {n_sp} must divide the device "
+                             f"count {n_dev}")
+        # 2-D data x seq mesh: batch shards over 'data', the residue dim
+        # over 'seq' inside the step's shard_map (train/steps.py)
+        mesh = mesh_mod.make_mesh_2d(n_dev, rows=n_dev // n_sp)
+        seq_mesh = (mesh, n_sp)
+        n_data = n_dev // n_sp
+        logger.info(f"data x sequence parallel: {n_data} x {n_sp} mesh, "
+                    f"process {pidx}/{pcount}")
+        # NOTE: set_kernel_mesh is deliberately NOT used here — the whole
+        # network already runs inside the step's shard_map, so the Pallas
+        # calls execute per-shard without GSPMD gathering their operands
+    else:
+        mesh = mesh_mod.make_mesh(n_dev)
+        logger.info(f"data-parallel over {n_dev} device(s), "
+                    f"process {pidx}/{pcount}")
+        if n_dev > 1:
+            # batch-partitioned Pallas execution: without this, GSPMD
+            # all-gathers the kernels' operands and runs them replicated on
+            # every chip (kernels/mpnn_kernels.py:set_kernel_mesh)
+            from codlad_tpu.kernels.mpnn_kernels import set_kernel_mesh
+            set_kernel_mesh(mesh)
 
     if args.stats_name:
         mean, std = load_stats(args.stats_dir, args.stats_name)
@@ -305,7 +331,7 @@ def main(argv=None):
         model, process, process_kind=args.model, ema_decay=ema_decay,
         dropout=args.dropout > 0,
         compute_dtype="bfloat16" if args.bf16 else None,
-        class_dropout_prob=args.class_dropout_prob)
+        class_dropout_prob=args.class_dropout_prob, seq_mesh=seq_mesh)
 
     resampler = None
     if args.model == "diffusion" and args.t_sampler == "loss_second_moment":
@@ -327,13 +353,20 @@ def main(argv=None):
     log_t0, log_steps = time.time(), 0
     best_val = np.inf
     stop = False
-    local_dev = max(n_dev // pcount, 1)
+    # batch padding target = the DATA-axis extent this host feeds
+    n_data_axis = mesh.shape.get("data", 1)
+    local_dev = max(n_data_axis // pcount, 1)
 
     def device_batches():
         """Host pipeline (assembly, normalize, pad, device_put) as a
         generator so `prefetch` overlaps it with the device step — the
         role of the reference DataLoader's worker processes."""
         for hb in data:
+            if seq_mesh is not None and hb["x1"].shape[1] % args.seq_shards:
+                raise SystemExit(
+                    f"bucket length {hb['x1'].shape[1]} does not divide by "
+                    f"--seq_shards {args.seq_shards}; re-extract features "
+                    f"with a compatible padding lattice")
             x1 = normalize(hb.pop("x1"), mean, std,
                            norm_in=True).astype(np.float32)
             hb["x1"] = x1

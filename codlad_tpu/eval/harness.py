@@ -144,13 +144,18 @@ class SamplingPipeline:
         """Sequence-sharded sampling: conditioning AND the denoise scan run
         inside one shard_map over a 'seq' mesh — the O(L²) kNN is
         ring-streamed, [B, L, K, ·] edge tensors stay sharded, per-node
-        tables all-gather (parallel/sequence.py).  Same params as dense."""
+        tables all-gather (parallel/sequence.py).  Same params as dense.
+
+        cfg_scale != 0 composes: the condition-doubled batch rides the
+        (unsharded) batch dim, so guidance inside each shard is identical
+        to the dense `_sample_from_cond_cfg` on that shard's rows."""
         from jax import shard_map
         from jax.sharding import Mesh, PartitionSpec as P
 
         n = self.seq_shards
         mesh = Mesh(np.array(jax.devices()[:n]), ("seq",))
         model_sp = self.denoiser.clone(seq=("seq", n))
+        cfg = float(self.cfg_scale or 0.0)
 
         def f(params, res, cg, m, noise, rng):
             # independent per-shard noise streams for the local rows
@@ -158,15 +163,35 @@ class SamplingPipeline:
             cond = model_sp.apply(params, res, cg, m,
                                   method=type(model_sp).compute_condition)
             cond = self._cast(cond)
+            if cfg != 0.0:
+                null_id = getattr(self.denoiser, "vocab", 30) - 1
+                uncond = model_sp.apply(
+                    params, jnp.full_like(res, null_id), cg, m,
+                    method=type(model_sp).compute_condition)
+                cond = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b], 0),
+                    cond, self._cast(uncond))
 
             def model_fn(x, t, k, x_self_cond=None):
                 xin = (x if self.compute_dtype is None
                        else x.astype(self.compute_dtype))
+                if cfg != 0.0:
+                    xin = jnp.concatenate([xin, xin], 0)
+                    t = jnp.concatenate([t, t], 0)
+                    if x_self_cond is not None:
+                        x_self_cond = jnp.concatenate(
+                            [x_self_cond, x_self_cond], 0)
                 out = model_sp.apply(params, xin, t, cond,
                                      x_self_cond=x_self_cond,
                                      deterministic=True,
-                                     method=type(model_sp).denoise)
-                return out.astype(jnp.float32)
+                                     method=type(model_sp).denoise
+                                     ).astype(jnp.float32)
+                if cfg != 0.0:
+                    c, u = out[:x.shape[0]], out[x.shape[0]:]
+                    C = self.latent_size
+                    mean = u[..., :C] + cfg * (c[..., :C] - u[..., :C])
+                    out = jnp.concatenate([mean, c[..., C:]], axis=-1)
+                return out
 
             return self._run_process(rng, model_fn, noise)
 
@@ -184,16 +209,18 @@ class SamplingPipeline:
         rng, sub = jax.random.split(rng)
         z = jax.random.normal(sub, (B, L, self.latent_size))
         if self.seq_shards:
-            if (self.cfg_scale and self.cfg_scale != 0.0) or self.doubled_batch:
-                raise NotImplementedError(
-                    "--seq_shards composes with plain sampling only "
-                    "(cfg/doubled-batch guidance not yet sharded)")
             if L % self.seq_shards:
                 raise ValueError(
                     f"sequence length {L} must divide by seq_shards="
                     f"{self.seq_shards} (pick a compatible padding bucket)")
+            if self.doubled_batch:
+                # the doubled batch rides the UNSHARDED batch dim
+                extras = {k: jnp.concatenate([v, v], 0)
+                          for k, v in extras.items()}
+                z = jnp.concatenate([z, z], 0)
             return self._sample_sharded(rng, params, extras["res_type"],
-                                        extras["cg_xyz"], extras["mask"], z)
+                                        extras["cg_xyz"], extras["mask"],
+                                        z)[:B]
         if self.cfg_scale and self.cfg_scale != 0.0:
             # guidance's unconditional surrogate: the NULL residue token
             # (vocab-1), the id --class_dropout_prob trains for exactly

@@ -171,7 +171,7 @@ def masked_l2(pred, target, mask):
 
 def make_latent_step(denoiser, process, *, process_kind: str,
                      ema_decay=0.9999, dropout=True, compute_dtype=None,
-                     class_dropout_prob=0.0):
+                     class_dropout_prob=0.0, seq_mesh=None):
     """Stage-2 steps. process_kind: 'diffusion' | one of the flow names |
     'backbone'. `process` is the GaussianDiffusion or flow matcher.
 
@@ -183,8 +183,55 @@ def make_latent_step(denoiser, process, *, process_kind: str,
 
     class_dropout_prob > 0 trains the cfg unconditional branch: whole
     sequences are replaced by the null residue token (vocab-1) with that
-    probability (see apply_class_dropout)."""
+    probability (see apply_class_dropout).
+
+    seq_mesh=(mesh, n_shards): TRAIN with the residue dimension sharded
+    over the mesh's 'seq' axis (ring-kNN sequence parallelism,
+    parallel/sequence.py) — chains too long for one chip's HBM train the
+    SAME parameter pytree as the dense model.  The network forward/backward
+    runs inside a shard_map (params replicated — their grads psum over the
+    whole mesh in the transpose); the diffusion q-sample/VB math outside
+    stays on global arrays, where GSPMD shards it.  A 2-D ('data', 'seq')
+    mesh composes dp x sp; dropout keys fold in every mesh axis index so
+    shards draw independent masks."""
     null_id = getattr(denoiser, "vocab", 30) - 1
+
+    if seq_mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        _mesh, _n_sp = seq_mesh
+        _sp_model = denoiser.clone(seq=("seq", _n_sp))
+        _b_axis = "data" if "data" in _mesh.axis_names else None
+        _x_spec = P(_b_axis, "seq", None)
+        _self_cond = getattr(denoiser, "self_condition", False)
+
+        def _net(params, x, t, res, cg, m, rng, use_dropout, x_self_cond):
+            def f(params, x, t, res, cg, m, rng, x_self_cond):
+                k = rng
+                for ax in _mesh.axis_names:
+                    k = jax.random.fold_in(k, jax.lax.axis_index(ax))
+                return _sp_model.apply(
+                    params, x, t, res, cg, m,
+                    x_self_cond=(x_self_cond if _self_cond else None),
+                    deterministic=not use_dropout,
+                    rngs={"dropout": k} if use_dropout else None)
+
+            fn = shard_map(
+                f, mesh=_mesh,
+                in_specs=(P(), _x_spec, P(_b_axis), P(_b_axis, "seq"),
+                          _x_spec, P(_b_axis, "seq"), P(), _x_spec),
+                out_specs=_x_spec)
+            # shard_map takes no literal None operands: self-conditioning
+            # off -> feed zeros the body ignores
+            sc = x_self_cond if x_self_cond is not None else jnp.zeros_like(x)
+            return fn(params, x, t, res, cg, m, rng, sc)
+    else:
+        def _net(params, x, t, res, cg, m, rng, use_dropout, x_self_cond):
+            return denoiser.apply(
+                params, x, t, res, cg, m, x_self_cond=x_self_cond,
+                deterministic=not use_dropout,
+                rngs={"dropout": rng} if use_dropout else None)
 
     def model_apply(params, x, t, rng, extras, x_self_cond=None, train=True):
         use_dropout = dropout and train
@@ -201,11 +248,8 @@ def make_latent_step(denoiser, process, *, process_kind: str,
             extras = dict(extras, cg_xyz=cast(extras["cg_xyz"]))
             if x_self_cond is not None:
                 x_self_cond = cast(x_self_cond)
-        out = denoiser.apply(
-            params, x, t, extras["res_type"], extras["cg_xyz"], extras["mask"],
-            x_self_cond=x_self_cond,
-            deterministic=not use_dropout,
-            rngs={"dropout": rng} if use_dropout else None)
+        out = _net(params, x, t, extras["res_type"], extras["cg_xyz"],
+                   extras["mask"], rng, use_dropout, x_self_cond)
         return out.astype(jnp.float32)
 
     def loss_fn(params, x1, extras, rng, train=True, t=None, t_weights=None):

@@ -179,3 +179,89 @@ def test_pipeline_seq_sharded_sampling_matches_dense(mesh, data):
         bad = {"res_type": res[:, :30], "cg_xyz": cg[:, :30],
                "mask": mask[:, :30]}
         make(N_SHARDS).sample_latents(rng, bad)
+
+
+def test_seq_sharded_train_step_matches_dense(data):
+    """make_latent_step(seq_mesh=...): one full Stage-2 train step (loss,
+    grads through the shard_map transpose, SGD update) on a 2-D
+    data x seq mesh must reproduce the dense step (dropout off; the rng
+    threading outside the network is identical so t / q-sample noise
+    match)."""
+    import optax
+
+    from codlad_tpu.gen.diffusion import create_diffusion
+    from codlad_tpu.train.mesh import make_mesh_2d, replicate, shard_batch
+    from codlad_tpu.train.state import create_train_state
+    from codlad_tpu.train.steps import make_latent_step
+
+    x, t, res, cg, mask = data
+    dense, _ = _models()
+    params = dense.init(jax.random.PRNGKey(0), x, t, res, cg, mask)
+    process = create_diffusion(None, diffusion_steps=100, learn_sigma=True)
+    extras = {"res_type": res, "cg_xyz": cg, "mask": mask}
+
+    mesh2 = make_mesh_2d(4, rows=2)          # ('data', 'seq') = 2 x 2
+    step_d, eval_d = make_latent_step(dense, process,
+                                      process_kind="diffusion",
+                                      dropout=False)
+    step_s, eval_s = make_latent_step(dense, process,
+                                      process_kind="diffusion",
+                                      dropout=False, seq_mesh=(mesh2, 2))
+
+    def fresh_state():
+        # the step donates its state: each state needs its own buffers
+        return create_train_state(jax.tree.map(jnp.copy, params),
+                                  optax.sgd(1e-2), with_ema=True)
+
+    rng = jax.random.PRNGKey(7)
+    sd, md = step_d(fresh_state(), x, extras, rng)
+    sb = shard_batch(dict(extras, x1=x), mesh2)
+    x_s = sb.pop("x1")
+    ss, ms = step_s(replicate(fresh_state(), mesh2), x_s, sb, rng)
+
+    np.testing.assert_allclose(float(ms["loss"]), float(md["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(ms["grad_norm"]),
+                               float(md["grad_norm"]), rtol=5e-4)
+    flat_d = jax.tree_util.tree_leaves_with_path(sd.params)
+    flat_s = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(ss.params)}
+    for k, v in flat_d:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(flat_s[ks]), np.asarray(v), rtol=5e-4, atol=1e-5,
+            err_msg=ks)
+
+    # eval step agrees too (validation under seq sharding)
+    ed = eval_d(sd, x, extras, rng)
+    es = eval_s(ss, x_s, sb, rng)
+    np.testing.assert_allclose(float(es["loss"]), float(ed["loss"]),
+                               rtol=1e-4)
+
+
+def test_seq_sharded_cfg_sampling_matches_dense(mesh, data):
+    """--seq_shards now composes with classifier-free guidance: with the
+    deterministic DDIM sampler, the sharded cfg trajectory must reproduce
+    the dense `_sample_from_cond_cfg` exactly."""
+    from codlad_tpu.eval.harness import SamplingPipeline
+    from codlad_tpu.gen.diffusion import create_diffusion
+
+    x, t, res, cg, mask = data
+    dense, _ = _models()
+    params = dense.init(jax.random.PRNGKey(0), x, t, res, cg, mask)
+    process = create_diffusion("ddim4", diffusion_steps=40, learn_sigma=True)
+
+    def make(n):
+        return SamplingPipeline(
+            denoiser=dense, denoiser_params=params, process=process,
+            process_kind="diffusion", vae=None, vae_params=None,
+            vq_state=None, norm_mean=np.zeros(3), norm_std=np.ones(3),
+            latent_size=3, sampler="ddim", ddim_eta=0.0, cfg_scale=2.5,
+            seq_shards=n)
+
+    extras = {"res_type": res, "cg_xyz": cg, "mask": mask}
+    rng = jax.random.PRNGKey(5)
+    lat_dense = make(0).sample_latents(rng, extras)
+    lat_seq = make(N_SHARDS).sample_latents(rng, extras)
+    np.testing.assert_allclose(np.asarray(lat_seq), np.asarray(lat_dense),
+                               rtol=2e-4, atol=2e-5)
