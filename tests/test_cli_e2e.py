@@ -213,3 +213,36 @@ def test_rvq_pipeline(workdir):
     ])
     usage = np.load(os.path.join(feat_dir, "codebook_usage.npy"))
     assert usage.sum() > 0  # flattened multi-stage histogram counted codes
+
+
+def test_seq_shard_cli(workdir):
+    """--seq_shards through BOTH user surfaces: train_latent trains on a
+    2-D data x seq mesh (4 x 2 of the 8 virtual devices) and cli.test
+    samples sequence-sharded with cfg guidance on top."""
+    from codlad_tpu.cli import test as test_cli, train_latent
+
+    feat_dir = str(workdir / "features")
+    stats_dir = str(workdir / "stats")
+    if not os.path.isdir(feat_dir):
+        pytest.skip("needs test_full_pipeline's features")
+    exp_dir = str(workdir / "latent_seq")
+    train_latent.main([
+        "--feature_dir", feat_dir, "--exp", exp_dir, "--model", "diffusion",
+        "--latent_size", "3", "--batch_size", "4", "--epochs", "1",
+        "--max_steps", "2", "--warmup", "1", "--save_step", "2",
+        "--stats_name", "TEST", "--stats_dir", stats_dir, "--dropout", "0.1",
+        "--log_step", "1", "--seq_shards", "2",
+    ])
+    assert os.path.isdir(os.path.join(exp_dir, "last"))
+
+    out_dir = str(workdir / "eval_seq")
+    summary = test_cli.main([
+        "--experiment", "latent", "--model", "diffusion",
+        "--vae_ckpt", str(workdir / "vq"), "--latent_ckpt", exp_dir,
+        "--data_dir", str(workdir / "shards"), "--out_dir", out_dir,
+        "--num_sampling_steps", "3", "--num_ensemble", "2",
+        "--stats_name", "TEST", "--stats_dir", stats_dir,
+        "--batch_size", "2", "--seq_shards", "2", "--cfg_scale", "1.5",
+    ])
+    g = summary["__global__"]
+    assert np.isfinite(g["rmsd"]) and np.isfinite(g["div"])
