@@ -112,6 +112,95 @@ def vq_quantize_cosine(state: VQState, z, mask=None, *, train=False,
     return z + jax.lax.stop_gradient(zq - z), idx, loss, new_state
 
 
+def _gumbel_onehot_st(rng, logits, *, temperature=1.0, reinmax=True):
+    """Stochastic one-hot with straight-through gradients.
+
+    Samples D ~ Categorical(softmax(logits + gumbel)) and returns a hard
+    one-hot whose backward pass follows either the plain ST softmax or the
+    second-order ReinMax estimator (Liu et al. 2023) — the estimator the
+    reference's gumbel variant enables via `stochastic_sample_codes=True,
+    straight_through=True, reinmax=True` (utils/vq_module.py:152-160)."""
+    idx = jax.random.categorical(rng, logits / max(temperature, 1e-6), axis=-1)
+    hard = jax.nn.one_hot(idx, logits.shape[-1], dtype=logits.dtype)
+    if reinmax:
+        # pi2 = 2*softmax(sg[log((D + softmax(logits/T))/2)] + logits
+        #       - sg[logits]) - 0.5*softmax(logits); grad flows via logits
+        pi0 = jax.nn.softmax(logits, axis=-1)
+        pi1 = (hard + jax.nn.softmax(logits / max(temperature, 1e-6), -1)) / 2
+        shift = jax.lax.stop_gradient(jnp.log(jnp.maximum(pi1, 1e-20)) - logits)
+        pi1 = jax.nn.softmax(shift + logits, axis=-1)
+        pi2 = 2.0 * pi1 - 0.5 * pi0
+        soft = pi2
+    else:
+        soft = jax.nn.softmax(logits / max(temperature, 1e-6), axis=-1)
+    return hard + soft - jax.lax.stop_gradient(soft), idx
+
+
+def vq_quantize_gumbel(rng, state: VQState, z, mask=None, *, train=False,
+                       decay=0.99, commitment_weight=0.25, epsilon=1e-5,
+                       temperature=1.0, reinmax=True):
+    """Gumbel/cosine VQ (reference 'low3_num16_gumble_cos',
+    utils/vq_module.py:152-160): cosine-similarity logits over an
+    L2-normalized codebook; at train time the code is SAMPLED with gumbel
+    noise and gradients flow through a ReinMax straight-through one-hot;
+    at eval time the argmax code is taken deterministically.
+
+    The EMA codebook update uses the sampled hard assignments (masked),
+    keeping the same global-reduction DP semantics as `vq_quantize`."""
+    state = jax.tree.map(jnp.asarray, state)
+    D = z.shape[-1]
+    norm = lambda v: v / jnp.maximum(
+        jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+    cb = norm(state.codebook)
+    z_flat = z.reshape(-1, D)
+    zn = norm(z_flat)
+    logits = zn @ cb.T                        # cosine similarity [N, K]
+
+    if mask is None:
+        maskf = jnp.ones(z.shape[:-1], z.dtype)
+    else:
+        maskf = jnp.broadcast_to(mask, z.shape[:-1]).astype(z.dtype)
+    m_flat = maskf.reshape(-1)
+
+    if train:
+        assert rng is not None, "gumbel variant needs an rng at train time"
+        onehot_st, idx = _gumbel_onehot_st(rng, logits,
+                                           temperature=temperature,
+                                           reinmax=reinmax)
+        # soft-gradient path THROUGH the one-hot selection matmul
+        quantized = (onehot_st @ cb).reshape(z.shape)
+        hard = jax.nn.one_hot(idx, cb.shape[0], dtype=z.dtype) * m_flat[:, None]
+        n_codes = cb.shape[0]
+        bins = hard.sum(0)
+        dw = hard.T @ jax.lax.stop_gradient(zn)
+        cluster_size = state.cluster_size * decay + bins * (1 - decay)
+        embed_avg = state.embed_avg * decay + dw * (1 - decay)
+        n = cluster_size.sum()
+        smoothed = (cluster_size + epsilon) / (n + n_codes * epsilon) * n
+        codebook = embed_avg / smoothed[:, None]
+        codebook = jnp.where(cluster_size[:, None] > 1e-3, norm(codebook),
+                             state.codebook)
+        new_state = VQState(codebook=codebook, cluster_size=cluster_size,
+                            embed_avg=embed_avg)
+    else:
+        idx = jnp.argmax(logits, axis=-1)
+        quantized = cb[idx].reshape(z.shape)
+        new_state = state
+
+    zq_sg = jax.lax.stop_gradient(quantized)
+    diff = (norm(z.reshape(-1, D)).reshape(z.shape) - zq_sg) ** 2
+    denom = jnp.maximum(maskf.sum() * D, 1.0)
+    commit_loss = commitment_weight * jnp.sum(diff * maskf[..., None]) / denom
+
+    if train:
+        # gradients flow through the ReinMax one-hot selection (NOT the
+        # plain identity ST — that is the whole point of the estimator)
+        z_q = quantized
+    else:
+        z_q = z + jax.lax.stop_gradient(quantized - z)
+    return z_q, idx.reshape(z.shape[:-1]), commit_loss, new_state
+
+
 def vq_sample_stochastic(rng, state: VQState, z, temperature=1.0):
     """Gumbel/stochastic code sampling (reference stochastic_sample_codes):
     sample indices ~ softmax(-d^2 / temperature). Returns (z_q, idx)."""
@@ -250,11 +339,32 @@ class Quantizer:
     new_state); state is None for the stateless FSQ."""
 
     KINDS = ("vqvae", "cosine", "orthogonal", "expire", "fsq", "rvq",
-             "multihead")
+             "multihead", "gumbel")
+
+    # the reference's build_quantize method strings (utils/vq_module.py:
+    # 98-163) mapped onto our kinds, so every reference config loads as-is
+    REFERENCE_ALIASES = {
+        "vqema": "vqvae",                  # local VectorQuantizerEMA (:99)
+        "vq_3": "vqvae",                   # dim=3 VectorQuantize (:112)
+        "fsq_5": "fsq",                    # levels [7,5,5,5,5] (:118)
+        "Expiring_stalevq": "expire",      # dead-code expiry (:122)
+        "orthogonal_vq": "orthogonal",     # ortho reg weight 10 (:128)
+        "headvq": "multihead",             # 8 heads, separate books (:137)
+        "low_cosvq_3": "cosine",           # cosine sim, 16x codes (:145)
+        "low3_num16_gumble_cos": "gumbel", # gumbel+reinmax+cosine (:152)
+    }
 
     def __init__(self, kind, codebook_size=4096, dim=3, levels=None,
                  decay=0.99, commitment_weight=0.25, ortho_weight=10.0,
-                 expire_threshold=2.0, n_stages=2, n_heads=None):
+                 expire_threshold=2.0, n_stages=2, n_heads=None,
+                 gumbel_temperature=1.0, reinmax=True):
+        if kind in self.REFERENCE_ALIASES:
+            # reference-specific defaults ride along with the alias
+            if kind == "headvq" and not n_heads:
+                n_heads = 8
+            if kind in ("low_cosvq_3", "low3_num16_gumble_cos"):
+                codebook_size = codebook_size * 16
+            kind = self.REFERENCE_ALIASES[kind]
         if kind not in self.KINDS:
             raise ValueError(f"unknown quantize_type {kind!r}")
         self.kind = kind
@@ -267,6 +377,8 @@ class Quantizer:
         self.expire_threshold = expire_threshold
         self.n_stages = n_stages
         self.n_heads = n_heads
+        self.gumbel_temperature = gumbel_temperature
+        self.reinmax = reinmax
         if kind == "fsq" and dim != len(self.levels):
             raise ValueError(
                 f"fsq needs vqdim == len(levels) ({len(self.levels)}), got {dim}")
@@ -300,6 +412,12 @@ class Quantizer:
             return multihead_vq_quantize(state, z, mask, **kw)
         if self.kind == "cosine":
             return vq_quantize_cosine(state, z, mask, **kw)
+        if self.kind == "gumbel":
+            if train and rng is None:
+                raise ValueError("gumbel variant needs an rng at train time")
+            return vq_quantize_gumbel(rng, state, z, mask, **kw,
+                                      temperature=self.gumbel_temperature,
+                                      reinmax=self.reinmax)
         z_q, idx, loss, new_state = vq_quantize(state, z, mask, **kw)
         if self.kind == "orthogonal":
             loss = loss + orthogonal_reg_loss(new_state.codebook,

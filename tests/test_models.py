@@ -262,6 +262,67 @@ def test_vq_multihead_and_orthogonal():
     assert float(orthogonal_reg_loss(rnd, weight=10.0)) > 0
 
 
+def test_vq_gumbel_variant():
+    """Gumbel/cosine VQ (reference 'low3_num16_gumble_cos',
+    utils/vq_module.py:152-160): stochastic sampling at train time with
+    ReinMax straight-through gradients; deterministic argmax at eval."""
+    from codlad_tpu.models.vq import vq_init, vq_quantize_gumbel
+
+    state = vq_init(jax.random.PRNGKey(0), 64, 4)
+    z = jax.random.normal(jax.random.PRNGKey(1), (3, 8, 4))
+    mask = jnp.ones((3, 8), bool).at[:, -2:].set(False)
+
+    zq, idx, loss, st = vq_quantize_gumbel(
+        jax.random.PRNGKey(2), state, z, mask, train=True)
+    assert zq.shape == z.shape and idx.shape == (3, 8)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    # codebook stays on the unit sphere where updated
+    upd = np.asarray(st.cluster_size) > 1e-3
+    norms = np.linalg.norm(np.asarray(st.codebook), axis=-1)
+    np.testing.assert_allclose(norms[upd], 1.0, atol=1e-5)
+
+    # gradients flow to the ENCODER input through the reinmax one-hot
+    g = jax.grad(lambda z: vq_quantize_gumbel(
+        jax.random.PRNGKey(2), state, z, mask, train=True)[0].sum())(z)
+    assert float(jnp.abs(g).sum()) > 0
+
+    # eval: deterministic cosine argmax, repeated calls agree, no state touch
+    zq_e, idx_e, _, st_e = vq_quantize_gumbel(None, state, z, mask, train=False)
+    zq_e2, idx_e2, _, _ = vq_quantize_gumbel(None, state, z, mask, train=False)
+    np.testing.assert_array_equal(np.asarray(idx_e), np.asarray(idx_e2))
+    assert st_e is not None
+    norm = lambda v: v / np.maximum(
+        np.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+    sims = norm(np.asarray(z).reshape(-1, 4)) @ norm(
+        np.asarray(state.codebook)).T
+    np.testing.assert_array_equal(np.asarray(idx_e).reshape(-1),
+                                  sims.argmax(-1))
+
+
+def test_build_quantize_reference_aliases():
+    """build_quantize must accept every reference method string
+    (utils/vq_module.py:98-163 dispatch)."""
+    from codlad_tpu.models.vq import build_quantize
+
+    for name, kind, size in [
+            ("vqema", "vqvae", 256), ("vqvae", "vqvae", 256),
+            ("vq_3", "vqvae", 256), ("fsq_5", "fsq", 256),
+            ("Expiring_stalevq", "expire", 256),
+            ("orthogonal_vq", "orthogonal", 256),
+            ("headvq", "multihead", 256),
+            ("low_cosvq_3", "cosine", 256 * 16),
+            ("low3_num16_gumble_cos", "gumbel", 256 * 16)]:
+        dim = 5 if kind == "fsq" else (8 if kind == "multihead" else 3)
+        q = build_quantize(name, codebook_size=256, dim=dim)
+        assert q.kind == kind, (name, q.kind)
+        assert q.codebook_size == size, (name, q.codebook_size)
+        st = q.init(jax.random.PRNGKey(0))
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, 4, dim))
+        zq, idx, loss, _ = q.quantize(st, z, train=True,
+                                      rng=jax.random.PRNGKey(2))
+        assert zq.shape == z.shape and np.isfinite(float(loss))
+
+
 def test_protein_features_full_backbone(small_batch):
     from codlad_tpu.nn.mpnn import ProteinFeatures
 
