@@ -143,6 +143,84 @@ def test_sinkhorn_marginals():
     np.testing.assert_allclose(np.asarray(plan.sum(0)), np.full(16, 1 / 16), atol=1e-4)
 
 
+def test_unbalanced_plan_limits_to_sinkhorn():
+    """reg_m -> inf makes the KL marginal penalty hard: the unbalanced plan
+    must converge to the balanced Sinkhorn plan (and with moderate reg_m it
+    keeps LESS mass on expensive cells)."""
+    from codlad_tpu.gen.ot import unbalanced_plan
+
+    rng = np.random.default_rng(1)
+    cost = jnp.asarray(rng.uniform(0.0, 2.0, size=(12, 12)).astype(np.float32))
+    balanced = sinkhorn_plan(cost, reg=0.1, n_iters=400)
+    hard = unbalanced_plan(cost, reg=0.1, reg_m=1e4, n_iters=400)
+    np.testing.assert_allclose(np.asarray(hard), np.asarray(balanced),
+                               atol=2e-4)
+    soft = unbalanced_plan(cost, reg=0.1, reg_m=0.5, n_iters=400)
+    # soft marginals: total mass deviates from 1 and expensive cells lose
+    # mass relative to the balanced plan
+    exp_cost_soft = float((soft * cost).sum() / soft.sum())
+    exp_cost_bal = float((balanced * cost).sum())
+    assert exp_cost_soft < exp_cost_bal
+
+
+def test_partial_plan_respects_marginal_caps():
+    from codlad_tpu.gen.ot import partial_plan
+
+    rng = np.random.default_rng(2)
+    B = 10
+    cost = jnp.asarray(rng.uniform(0.0, 2.0, size=(B, B)).astype(np.float32))
+    m = 0.6
+    plan = np.asarray(partial_plan(cost, reg=0.1, m=m, n_iters=400))
+    assert abs(plan.sum() - m) < 1e-4
+    assert (plan.sum(1) <= 1 / B + 1e-4).all()
+    assert (plan.sum(0) <= 1 / B + 1e-4).all()
+    # transported mass should prefer cheap cells: expected cost under the
+    # partial plan (normalized) is below the uniform-plan cost
+    assert float((plan * np.asarray(cost)).sum() / m) < float(np.mean(cost))
+
+
+def test_partial_plan_two_by_two_fixture():
+    """Hand-checkable 2x2: with cost heavily favoring the diagonal and
+    m = 0.5 (half the mass), essentially everything rides the two diagonal
+    cells, capped at a_i = 0.5 each -> ~0.25 per diagonal cell."""
+    from codlad_tpu.gen.ot import partial_plan
+
+    cost = jnp.asarray([[0.0, 10.0], [10.0, 0.0]], dtype=jnp.float32)
+    plan = np.asarray(partial_plan(cost, reg=0.05, m=0.5, n_iters=300))
+    np.testing.assert_allclose(plan[0, 0], 0.25, atol=1e-3)
+    np.testing.assert_allclose(plan[1, 1], 0.25, atol=1e-3)
+    assert plan[0, 1] < 1e-4 and plan[1, 0] < 1e-4
+
+
+def test_sample_plan_accepts_all_reference_methods():
+    """Every OTPlanSampler method string (reference
+    optimal_transport.py:44-53) must be accepted end to end."""
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(rng.normal(size=(16, 6)).astype(np.float32))
+    x1 = jnp.asarray(rng.normal(size=(16, 6)).astype(np.float32))
+    for method in ("exact", "sinkhorn", "unbalanced", "partial"):
+        a, b = sample_plan(jax.random.PRNGKey(0), x0, x1, method=method)
+        assert a.shape == x0.shape and b.shape == x1.shape
+        assert np.isfinite(np.asarray(a)).all()
+        # joint sampling draws pairs from the plan's support: every row of
+        # a/b is an actual row of x0/x1
+        ax = np.asarray(a)[:, None, :] - np.asarray(x0)[None]
+        assert (np.abs(ax).sum(-1).min(1) < 1e-6).all()
+
+
+def test_otcfm_with_unbalanced_coupling_trains():
+    from codlad_tpu.gen.flow import FLOW_MATCHERS
+
+    fm = FLOW_MATCHERS["otcfm"](ot_method="unbalanced")
+    rng = np.random.default_rng(4)
+    x0 = jnp.asarray(rng.normal(size=(8, 4, 3)).astype(np.float32))
+    x1 = jnp.asarray(rng.normal(size=(8, 4, 3)).astype(np.float32))
+    t, xt, ut = fm.sample_location_and_conditional_flow(
+        jax.random.PRNGKey(0), x0, x1)
+    assert xt.shape == x0.shape and ut.shape == x0.shape
+    assert np.isfinite(np.asarray(ut)).all()
+
+
 def test_exact_assignment_identity():
     cost = jnp.asarray(np.array([[0.0, 5, 5], [5, 0, 5], [5, 5, 0]], dtype=np.float32))
     col = exact_assignment(cost)
