@@ -357,22 +357,27 @@ def main(argv=None):
     n_data_axis = mesh.shape.get("data", 1)
     local_dev = max(n_data_axis // pcount, 1)
 
+    def _shard_host_batch(hb):
+        """Shared host pipeline step (both train and val): seq-shard
+        divisibility guard, normalize, pad, shard."""
+        if seq_mesh is not None and hb["x1"].shape[1] % args.seq_shards:
+            raise SystemExit(
+                f"bucket length {hb['x1'].shape[1]} does not divide by "
+                f"--seq_shards {args.seq_shards}; re-extract features "
+                f"with a compatible padding lattice")
+        x1 = normalize(hb.pop("x1"), mean, std,
+                       norm_in=True).astype(np.float32)
+        hb["x1"] = x1
+        hb = mesh_mod.pad_batch_to_devices(hb, local_dev)
+        sb = mesh_mod.shard_batch(hb, mesh)
+        return sb.pop("x1"), sb
+
     def device_batches():
         """Host pipeline (assembly, normalize, pad, device_put) as a
         generator so `prefetch` overlaps it with the device step — the
         role of the reference DataLoader's worker processes."""
         for hb in data:
-            if seq_mesh is not None and hb["x1"].shape[1] % args.seq_shards:
-                raise SystemExit(
-                    f"bucket length {hb['x1'].shape[1]} does not divide by "
-                    f"--seq_shards {args.seq_shards}; re-extract features "
-                    f"with a compatible padding lattice")
-            x1 = normalize(hb.pop("x1"), mean, std,
-                           norm_in=True).astype(np.float32)
-            hb["x1"] = x1
-            hb = mesh_mod.pad_batch_to_devices(hb, local_dev)
-            sb = mesh_mod.shard_batch(hb, mesh)
-            yield sb.pop("x1"), sb
+            yield _shard_host_batch(hb)
 
     from codlad_tpu.data.prefetch import prefetch
 
@@ -436,12 +441,7 @@ def main(argv=None):
 
         def val_batches():
             for hb in val:
-                x1 = normalize(hb.pop("x1"), mean, std,
-                               norm_in=True).astype(np.float32)
-                hb["x1"] = x1
-                hb = mesh_mod.pad_batch_to_devices(hb, local_dev)
-                sb = mesh_mod.shard_batch(hb, mesh)
-                yield sb.pop("x1"), sb
+                yield _shard_host_batch(hb)
 
         for i, (x1, sb) in enumerate(prefetch(val_batches())):
             m = eval_step(state, x1, sb, jax.random.fold_in(rng, i))

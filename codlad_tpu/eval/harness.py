@@ -213,8 +213,11 @@ class SamplingPipeline:
                 raise ValueError(
                     f"sequence length {L} must divide by seq_shards="
                     f"{self.seq_shards} (pick a compatible padding bucket)")
-            if self.doubled_batch:
-                # the doubled batch rides the UNSHARDED batch dim
+            if self.doubled_batch and not self.cfg_scale:
+                # the doubled batch rides the UNSHARDED batch dim.  Same
+                # precedence as the dense path below: cfg != 0 already
+                # doubles the batch inside the shard_map for guidance, so
+                # doubling here too would run the denoiser on 4B rows.
                 extras = {k: jnp.concatenate([v, v], 0)
                           for k, v in extras.items()}
                 z = jnp.concatenate([z, z], 0)
