@@ -47,6 +47,14 @@ def main(argv=None):
     p.add_argument("--edgeorder", type=int, default=2)
     p.add_argument("--synthetic", type=int, nargs=3, default=None,
                    metavar=("N_PROT", "N_RES", "N_FRAMES"))
+    p.add_argument("--structured", action="store_true",
+                   help="synthetic mode: learnable rotamer-mode generator "
+                        "(for convergence studies) instead of i.i.d. "
+                        "torsions")
+    p.add_argument("--res_range", type=int, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="synthetic mode: sample each protein's length "
+                        "uniformly from [LO, HI] instead of the fixed N_RES")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -58,13 +66,19 @@ def main(argv=None):
 
     if args.synthetic:
         n_prot, n_res, n_frames = args.synthetic
+        lens_rng = np.random.default_rng(args.seed + 991)
         for i in range(n_prot):
-            exs = synthetic_examples(n_frames, n_res, seed=args.seed + i,
-                                     cfg=cfg, prot_idx=i)
+            ni = (int(lens_rng.integers(args.res_range[0],
+                                        args.res_range[1] + 1))
+                  if args.res_range else n_res)
+            exs = synthetic_examples(n_frames, ni, seed=args.seed + i,
+                                     cfg=cfg, prot_idx=i,
+                                     structured=args.structured)
             save_protein_shard(os.path.join(args.out_dir, f"prot_{i:04d}.npz"), exs)
             success.append(f"prot_{i:04d}")
             print(f"[{i + 1}/{n_prot}] synthetic prot_{i:04d}: "
-                  f"{n_frames} frames, {n_res} residues", flush=True)
+                  f"{n_frames} frames, {ni} residues"
+                  f"{' (structured)' if args.structured else ''}", flush=True)
     else:
         if args.pdb_dir is None:
             p.error("--pdb_dir or --synthetic required")

@@ -51,6 +51,9 @@ def _radius_edges(xyz_flat, valid, cutoff):
     return native.radius_graph(xyz_flat, valid, cutoff)
 
 
+_BOND_CACHE: dict = {}
+
+
 def bond_pairs(res_type, chain_id, order=2):
     """Order-`order` covalent pairs (i<j) in flat atom14 index space.
 
@@ -58,28 +61,47 @@ def bond_pairs(res_type, chain_id, order=2):
     plus peptide bonds between consecutive residues of the same chain, then
     expands to pairs with graph distance <= order (reference:
     utils/protein_module.py:536-564).
+
+    Sparse (scipy CSR) reachability instead of a dense [14L, 14L] bool
+    matmul, and memoized on the sequence: every frame of one protein shares
+    this result, so the per-frame cost is a dict lookup.
     """
+    key = (np.asarray(res_type).tobytes(), np.asarray(chain_id).tobytes(),
+           int(order))
+    hit = _BOND_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from scipy import sparse
+
     L = len(res_type)
     N = L * R.MAX_ATOMS
-    adj = np.zeros((N, N), dtype=bool)
-    idx = flat_index(L)
-    for i in range(L):
-        a = R.INTRA_BOND_ADJ[res_type[i]]
-        sl = idx[i]
-        adj[np.ix_(sl, sl)] |= a
-        if i + 1 < L and chain_id[i] == chain_id[i + 1]:
-            ci, nj = idx[i, R.PEPTIDE_BOND[0]], idx[i + 1, R.PEPTIDE_BOND[1]]
-            adj[ci, nj] = adj[nj, ci] = True
+    blk = R.INTRA_BOND_ADJ[res_type]  # [L, 14, 14] bool
+    ri, ii, jj = np.nonzero(blk)
+    rows = ri * R.MAX_ATOMS + ii
+    cols = ri * R.MAX_ATOMS + jj
+    pep = np.where((chain_id[:-1] == chain_id[1:]))[0] if L > 1 else np.array([], int)
+    ci = pep * R.MAX_ATOMS + R.PEPTIDE_BOND[0]
+    nj = (pep + 1) * R.MAX_ATOMS + R.PEPTIDE_BOND[1]
+    rows = np.concatenate([rows, ci, nj])
+    cols = np.concatenate([cols, nj, ci])
+    adj = sparse.csr_matrix((np.ones(len(rows), bool), (rows, cols)),
+                            shape=(N, N), dtype=bool)
     reach = adj.copy()
-    frontier = adj.copy()
+    frontier = adj
     for _ in range(order - 1):
         frontier = frontier @ adj
-        reach |= frontier
-    np.fill_diagonal(reach, False)
+        reach = (reach + frontier).astype(bool)
+    reach = sparse.coo_matrix(reach)
     exists = R.ATOM14_EXISTS[res_type].reshape(-1)
-    reach &= exists[:, None] & exists[None, :]
-    ii, jj = np.where(np.triu(reach, k=1))
-    return np.stack([ii, jj], axis=-1).astype(np.int32)
+    keep = ((reach.row < reach.col) & reach.data
+            & exists[reach.row] & exists[reach.col])
+    ii, jj = reach.row[keep], reach.col[keep]
+    o = np.lexsort((jj, ii))
+    out = np.stack([ii[o], jj[o]], axis=-1).astype(np.int32)
+    if len(_BOND_CACHE) > 256:  # bound: entries are per-protein, ~50 KB
+        _BOND_CACHE.clear()
+    _BOND_CACHE[key] = out
+    return out
 
 
 _Z_TO_ELEM = {0: "", 1: "H", 6: "C", 7: "N", 8: "O", 15: "P", 16: "S", 34: "SE"}
@@ -101,11 +123,13 @@ def interaction_lists(res_type, chain_id, xyz_flat, valid, cfg: FeaturizeConfig)
     seq_flat = np.repeat(res_seq, R.MAX_ATOMS)
     res_flat = np.repeat(res_type, R.MAX_ATOMS)
 
-    pos = np.where(valid[:, None], xyz_flat, _FAR * (1.0 + np.arange(len(valid), dtype=np.float64))[:, None])
-    d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
-
-    # --- HB / ion-ion interactions
-    src, dst = np.where((d <= cfg.inter_cutoff) & (d > 0.93))
+    # --- HB / ion-ion interactions: cell-list radius graph (i<j pairs;
+    # HBOND_ELEMENT_PAIRS holds both orderings so i<j loses nothing)
+    pairs = _radius_edges(xyz_flat, valid, cfg.inter_cutoff)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    d01 = np.linalg.norm(xyz_flat[src] - xyz_flat[dst], axis=-1)
+    m = d01 > 0.93
+    src, dst = src[m], dst[m]
     not_adjacent = (
         (seq_flat[src] != seq_flat[dst])
         & (seq_flat[src] != seq_flat[dst] + 1)
@@ -114,20 +138,28 @@ def interaction_lists(res_type, chain_id, xyz_flat, valid, cfg: FeaturizeConfig)
     not_both_bb = ~np.isin(names[src], R.BACKBONE_NAMES) | ~np.isin(names[dst], R.BACKBONE_NAMES)
     pair_elem = np.char.add(elem[src].astype(str), elem[dst].astype(str))
     allowed = np.isin(pair_elem, R.HBOND_ELEMENT_PAIRS)
-    keep = not_adjacent & not_both_bb & allowed & (src < dst)
+    keep = not_adjacent & not_both_bb & allowed
     inter = np.stack([src[keep], dst[keep]], axis=-1).astype(np.int32)
 
     # --- pi-pi ring-center pairs: anchors are within-residue CD1-CD2 pairs
     # of PHE/TYR/TRP (the reference's HIS branch keys on a CD1 atom HIS does
-    # not have, so it never fires; reproduced as aromatics-only).
-    src, dst = np.where((d <= 8.0) & (d > 1.5))
-    same_res = seq_flat[src] == seq_flat[dst]
-    aromatic = np.isin(
-        res_flat[src],
-        [R.restype_index(x) for x in ("PHE", "TYR", "TRP")],
-    )
-    anchor = same_res & aromatic & (names[src] == "CD1") & (names[dst] == "CD2")
-    e1, e2 = src[anchor], dst[anchor]
+    # not have, so it never fires; reproduced as aromatics-only).  CD1/CD2
+    # slots come straight from the name tables — no pairwise scan needed.
+    arom_types = np.array([R.restype_index(x) for x in ("PHE", "TYR", "TRP")])
+    ridx = np.where(np.isin(res_type, arom_types))[0]
+    slot_of = {int(t): (list(R.ATOM14_NAMES[t]).index("CD1"),
+                        list(R.ATOM14_NAMES[t]).index("CD2"))
+               for t in arom_types}
+    if len(ridx):
+        s1 = np.array([slot_of[int(res_type[r])][0] for r in ridx])
+        s2 = np.array([slot_of[int(res_type[r])][1] for r in ridx])
+        e1 = (ridx * R.MAX_ATOMS + s1).astype(np.int64)
+        e2 = (ridx * R.MAX_ATOMS + s2).astype(np.int64)
+        dd = np.linalg.norm(xyz_flat[e1] - xyz_flat[e2], axis=-1)
+        ok = (dd <= 8.0) & (dd > 1.5) & valid[e1] & valid[e2]
+        e1, e2 = e1[ok], e2[ok]
+    else:
+        e1 = e2 = np.zeros(0, dtype=np.int64)
     if len(e1):
         centers = (xyz_flat[e1] + xyz_flat[e2]) / 2.0
         cd = np.linalg.norm(centers[:, None] - centers[None, :], axis=-1)
@@ -137,14 +169,20 @@ def interaction_lists(res_type, chain_id, xyz_flat, valid, cfg: FeaturizeConfig)
     else:
         pipi = np.zeros((0, 4), dtype=np.int32)
 
-    # --- backbone N(i+1)-O(i) hydrogen-bond partners
-    src, dst = np.where((d <= cfg.bb_no_cutoff) & (d > 1.5))
-    keep = (
-        (seq_flat[src] == seq_flat[dst] + 1)
-        & (names[src] == "N")
-        & (names[dst] == "O")
-    )
-    bb_no = np.stack([src[keep], dst[keep]], axis=-1).astype(np.int32)
+    # --- backbone N(i+1)-O(i) hydrogen-bond partners.  seq+1 pairs are
+    # exactly consecutive same-chain residues, and N/O ride fixed atom14
+    # slots, so this is a single vectorized pass over residues.
+    if L > 1:
+        i = np.arange(L - 1)
+        nsrc = ((i + 1) * R.MAX_ATOMS + 1).astype(np.int64)  # N slot = 1
+        odst = (i * R.MAX_ATOMS + 0).astype(np.int64)        # O slot = 0
+        dno = np.linalg.norm(xyz_flat[nsrc] - xyz_flat[odst], axis=-1)
+        ok = ((res_seq[i + 1] == res_seq[i] + 1)
+              & (dno <= cfg.bb_no_cutoff) & (dno > 1.5)
+              & valid[nsrc] & valid[odst])
+        bb_no = np.stack([nsrc[ok], odst[ok]], axis=-1).astype(np.int32)
+    else:
+        bb_no = np.zeros((0, 2), dtype=np.int32)
     return inter, pipi, bb_no
 
 
@@ -196,9 +234,10 @@ def featurize_frame(res_type_og, chain_id_og, cg_xyz_og, xyz14, cfg: FeaturizeCo
     # not order-2 covalent pairs (the reference recomputes this set
     # difference every training step, utils/train_module.py:330-333; here it
     # is a one-time host-side set op).
-    bond_set = set(map(tuple, bonds.tolist()))
-    clash = np.array([e for e in atom_edges.tolist() if tuple(e) not in bond_set],
-                     dtype=np.int32).reshape(-1, 2)
+    N = L * R.MAX_ATOMS
+    ek = atom_edges[:, 0].astype(np.int64) * N + atom_edges[:, 1]
+    bk = bonds[:, 0].astype(np.int64) * N + bonds[:, 1]
+    clash = atom_edges[~np.isin(ek, bk)].reshape(-1, 2).astype(np.int32)
 
     return {
         "clash_edges": clash,
