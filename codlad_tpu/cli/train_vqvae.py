@@ -64,9 +64,12 @@ def build_parser():
                    help="run the encoder's tensor-product feature path in "
                         "bf16 (geometry and losses stay f32)")
     p.add_argument("-quantize_type", type=str, default="vqvae",
-                   choices=["vqvae", "cosine", "orthogonal", "expire",
-                            "fsq", "rvq", "multihead"],
-                   help="VQ variant (reference build_quantize dispatch, "
+                   help="VQ variant: one of "
+                        "vqvae/cosine/orthogonal/expire/fsq/rvq/multihead/"
+                        "gumbel, or any reference method string "
+                        "(vqema, vq_3, fsq_5, Expiring_stalevq, "
+                        "orthogonal_vq, headvq, low_cosvq_3, "
+                        "low3_num16_gumble_cos — build_quantize dispatch, "
                         "utils/vq_module.py:98-163; rvq is an extension: "
                         "n-stage residual quantization)")
     p.add_argument("-fsq_levels", type=int, nargs="*", default=None,

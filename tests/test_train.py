@@ -496,3 +496,56 @@ def test_latent_step_with_batch_partitioned_kernels(tiny_batch):
     gp = float(m_p["grad_norm"])
     gr = float(m_ref["grad_norm"])
     assert abs(gp - gr) / max(gr, 1e-9) < 0.02, (gp, gr)
+
+
+def test_vqvae_dp_matches_single_device():
+    """VQ-EMA under data parallelism (SURVEY hard part 4; the reference's
+    Stage 1 is single-GPU, train_vqvae.py:42): one Stage-1 train step with
+    EMA codebook update on the 8-device DP mesh must produce the SAME loss,
+    codebook, EMA stats, and params as the single-device run — GSPMD's
+    global-reduction semantics make the sharded hard-assignment histogram
+    and embed sums exact psums, not per-shard approximations."""
+    exs = synthetic_examples(8, 14, seed=3)
+    spec = B.spec_for(exs, length_multiple=4, edge_multiple=64)
+    hb = B.collate(exs, spec)
+
+    vae = VAE(embed_dim=36, vqdim=3, mode="vqvae", dec_nconv=2, enc_nconv=2)
+    rng = jax.random.PRNGKey(0)
+    batch1 = {k: jnp.asarray(v) for k, v in hb.items()}
+    params = vae.init(rng, batch1)
+    params_host = jax.tree.map(np.asarray, params)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+    w = weights_to_array(LossWeights(eta=1.0, zeta=0.0))
+    vq0 = vq_init(rng, 64, 3)
+    vq0_host = jax.tree.map(np.asarray, vq0)
+
+    def run(sharded):
+        p = jax.tree.map(jnp.asarray, params_host)
+        v = jax.tree.map(jnp.asarray, vq0_host)
+        state = create_train_state(p, tx, vq_state=v)
+        train_step, _ = make_vqvae_step(vae)
+        if sharded:
+            mesh = mesh_mod.make_mesh(8)
+            state = mesh_mod.replicate(state, mesh)
+            batch = mesh_mod.shard_batch(dict(hb), mesh)
+        else:
+            batch = {k: jnp.asarray(v) for k, v in hb.items()}
+        ms = []
+        for i in range(3):
+            state, m = train_step(state, batch, jax.random.PRNGKey(i), w)
+            ms.append(float(m["loss"]))
+        return state, ms
+
+    s1, l1 = run(sharded=False)
+    s8, l8 = run(sharded=True)
+    np.testing.assert_allclose(l8, l1, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(s8.vq_state.codebook),
+                               np.asarray(s1.vq_state.codebook), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s8.vq_state.cluster_size),
+                               np.asarray(s1.vq_state.cluster_size), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s8.vq_state.embed_avg),
+                               np.asarray(s1.vq_state.embed_avg), atol=2e-5)
+    flat1 = jax.tree.leaves(jax.tree.map(np.asarray, s1.params))
+    flat8 = jax.tree.leaves(jax.tree.map(np.asarray, s8.params))
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(a, b, atol=5e-5)
