@@ -172,8 +172,56 @@ def convert_ic_decoder(sd, prefix="equivaraintconv", num_conv=4):
     return p
 
 
-def convert_vae(sd_or_path, num_conv=4, embed_dim=36, vqdim=3):
+def convert_ic_decoder_angle(sd, prefix="equivaraintconv", num_conv=4):
+    """reference IC_Decoder_angle (vae_model.py:318-415, the K3/K4 layout)
+    -> our ICDecoderAngle subtree.  Differs from IC_Decoder only in
+    sidechain_angle: an act->Linear(F,10)->act->Linear(10,10) MLP instead
+    of an Embedding(25, 10), which shifts the _MLP2 numbering — with no
+    Embed_3, sidechain_angle becomes _MLP2_{nc+2} and the sc-torsion chain
+    moves up one slot."""
+    nc = num_conv
+    p = {}
+    p["Embed_0"] = _emb(sd, f"{prefix}.backbone_dist")
+    p["Embed_1"] = _emb(sd, f"{prefix}.sidechain_dist")
+    p["Embed_2"] = _emb(sd, f"{prefix}.res_embed")
+    for i in range(nc):
+        p[f"InvariantMessage_{i}"] = {
+            "Dense_0": _lin(sd, f"{prefix}.message_blocks.{i}.inv_dense.0"),
+            "Dense_1": _lin(sd, f"{prefix}.message_blocks.{i}.inv_dense.1"),
+            "DistanceEmbed_0": {
+                "Dense_0": _lin(sd, f"{prefix}.message_blocks.{i}.dist_embed.block.1")},
+        }
+        p[f"_MLP2_{i}"] = {
+            "Dense_0": _lin(sd, f"{prefix}.dense_blocks.{i}.1"),
+            "Dense_1": _lin(sd, f"{prefix}.dense_blocks.{i}.3")}
+    p[f"_MLP2_{nc}"] = {"Dense_0": _lin(sd, f"{prefix}.backbone_angle.1"),
+                        "Dense_1": _lin(sd, f"{prefix}.backbone_angle.3")}
+    p[f"_MLP2_{nc + 1}"] = {"Dense_0": _lin(sd, f"{prefix}.backbone_torsion.1"),
+                            "Dense_1": _lin(sd, f"{prefix}.backbone_torsion.3")}
+    p[f"_MLP2_{nc + 2}"] = {"Dense_0": _lin(sd, f"{prefix}.sidechain_angle.1"),
+                            "Dense_1": _lin(sd, f"{prefix}.sidechain_angle.3")}
+    for i in range(nc):
+        p[f"_MLP2_{nc + 3 + i}"] = {
+            "Dense_0": _lin(sd, f"{prefix}.sidechain_torsion_blocks.{i}.1"),
+            "Dense_1": _lin(sd, f"{prefix}.sidechain_torsion_blocks.{i}.3")}
+    p[f"_MLP2_{2 * nc + 3}"] = {"Dense_0": _lin(sd, f"{prefix}.final_torsion.1"),
+                                "Dense_1": _lin(sd, f"{prefix}.final_torsion.3")}
+    return p
+
+
+def is_angle_layout(sd, prefix="equivaraintconv"):
+    """True when the state dict carries the IC_Decoder_angle (K3/K4)
+    layout: sidechain_angle as a Sequential MLP rather than an Embedding
+    (model_module.py:56,70 pick the decoder class per modeltype)."""
+    return f"{prefix}.sidechain_angle.1.weight" in sd
+
+
+def convert_vae(sd_or_path, num_conv=4, embed_dim=36, vqdim=3,
+                predict_angle=None):
     """Reference VQ-VAE (N6/K3/K4 layout) -> our VAE param tree + VQ state.
+
+    predict_angle: None = auto-detect the decoder layout from the state
+    dict (is_angle_layout); True/False force IC_Decoder_angle / IC_Decoder.
 
     Returns (params, vq_arrays) where vq_arrays is {codebook, cluster_size,
     embed_avg} (numpy) when quantizer buffers are present, else None.
@@ -185,9 +233,12 @@ def convert_vae(sd_or_path, num_conv=4, embed_dim=36, vqdim=3):
     """
     sd = (load_reference_state_dict(sd_or_path)
           if isinstance(sd_or_path, (str, bytes)) else sd_or_path)
+    if predict_angle is None:
+        predict_angle = is_angle_layout(sd)
+    dec = (convert_ic_decoder_angle if predict_angle else convert_ic_decoder)
     params = {
         "encoder": convert_encoder(sd),
-        "decoder": convert_ic_decoder(sd, num_conv=num_conv),
+        "decoder": dec(sd, num_conv=num_conv),
     }
     if embed_dim != vqdim and "map_in.weight" in sd:
         params["map_in"] = _lin(sd, "map_in")

@@ -98,12 +98,16 @@ def _invert_lin(dense, mult=None):
     return k.T.copy(), b.copy()
 
 
-def _synthesize_n6_state_dict(params, vq_arrays, num_conv=4):
+def _synthesize_n6_state_dict(params, vq_arrays, num_conv=4, angle=False):
     """Build a reference-layout VQ-VAE state dict (module names from
     vae_model.py:686-707: encoder/equivaraintconv/quantize/map_in/map_out)
     from OUR param tree by inverting convert_vae's mapping — exercising
     every key the converter reads, with DDP prefixes and the obsolete
-    dist_filter keys the reference's surgery must drop."""
+    dist_filter keys the reference's surgery must drop.
+
+    angle=True synthesizes the IC_Decoder_angle (K3/K4) layout
+    (vae_model.py:318-415): sidechain_angle is a Sequential MLP, which
+    shifts the _MLP2 numbering up by one from slot nc+2."""
     import torch
 
     from codlad_tpu.convert.e3nn_basis import tp_weight_corrections
@@ -157,7 +161,9 @@ def _synthesize_n6_state_dict(params, vq_arrays, num_conv=4):
     put("equivaraintconv.backbone_dist", np.asarray(dec["Embed_0"]["embedding"]))
     put("equivaraintconv.sidechain_dist", np.asarray(dec["Embed_1"]["embedding"]))
     put("equivaraintconv.res_embed", np.asarray(dec["Embed_2"]["embedding"]))
-    put("equivaraintconv.sidechain_angle", np.asarray(dec["Embed_3"]["embedding"]))
+    if not angle:
+        put("equivaraintconv.sidechain_angle",
+            np.asarray(dec["Embed_3"]["embedding"]))
     for i in range(nc):
         im = dec[f"InvariantMessage_{i}"]
         put(f"equivaraintconv.message_blocks.{i}.inv_dense.0",
@@ -170,18 +176,22 @@ def _synthesize_n6_state_dict(params, vq_arrays, num_conv=4):
             *_invert_lin(dec[f"_MLP2_{i}"]["Dense_0"]))
         put(f"equivaraintconv.dense_blocks.{i}.3",
             *_invert_lin(dec[f"_MLP2_{i}"]["Dense_1"]))
-    for name, j in [("backbone_angle", nc), ("backbone_torsion", nc + 1)]:
+    heads = [("backbone_angle", nc), ("backbone_torsion", nc + 1)]
+    if angle:
+        heads.append(("sidechain_angle", nc + 2))
+    for name, j in heads:
         put(f"equivaraintconv.{name}.1", *_invert_lin(dec[f"_MLP2_{j}"]["Dense_0"]))
         put(f"equivaraintconv.{name}.3", *_invert_lin(dec[f"_MLP2_{j}"]["Dense_1"]))
+    sc0 = nc + 3 if angle else nc + 2
     for i in range(nc):
         put(f"equivaraintconv.sidechain_torsion_blocks.{i}.1",
-            *_invert_lin(dec[f"_MLP2_{nc + 2 + i}"]["Dense_0"]))
+            *_invert_lin(dec[f"_MLP2_{sc0 + i}"]["Dense_0"]))
         put(f"equivaraintconv.sidechain_torsion_blocks.{i}.3",
-            *_invert_lin(dec[f"_MLP2_{nc + 2 + i}"]["Dense_1"]))
+            *_invert_lin(dec[f"_MLP2_{sc0 + i}"]["Dense_1"]))
     put("equivaraintconv.final_torsion.1",
-        *_invert_lin(dec[f"_MLP2_{2 * nc + 2}"]["Dense_0"]))
+        *_invert_lin(dec[f"_MLP2_{sc0 + nc}"]["Dense_0"]))
     put("equivaraintconv.final_torsion.3",
-        *_invert_lin(dec[f"_MLP2_{2 * nc + 2}"]["Dense_1"]))
+        *_invert_lin(dec[f"_MLP2_{sc0 + nc}"]["Dense_1"]))
 
     put("map_in", *_invert_lin(p["map_in"]))
     put("map_out", *_invert_lin(p["map_out"]))
@@ -236,5 +246,70 @@ def test_convert_vae_roundtrip_n6_layout(batch):
     np.testing.assert_allclose(vq["cluster_size"], vq_arrays["cluster_size"])
 
     # and the converted tree actually runs through the model
+    out = vae.apply(params, batch)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_vae_roundtrip_k3k4_angle_layout(batch, tmp_path):
+    """K3/K4 import rehearsal: convert_vae on a synthesized
+    IC_Decoder_angle-layout state dict (vae_model.py:318-415;
+    model_module.py:56,70) reproduces the originating ICDecoderAngle param
+    tree exactly, the layout is auto-detected, and the import CLI's
+    directory + --modelnum 999 (best_model.pt) selection path
+    (model_module.py:111-116) writes a loadable checkpoint."""
+    import jax
+    import torch
+
+    from codlad_tpu.convert.torch_import import convert_vae, is_angle_layout
+    from codlad_tpu.models.vae import VAE
+    from codlad_tpu.models.vq import vq_init
+
+    vae = VAE(embed_dim=36, vqdim=3, mode="vqvae", dec_nconv=4, enc_nconv=3,
+              predict_angle=True)
+    init = jax.jit(vae.init)(jax.random.PRNGKey(7), batch)
+    vq0 = vq_init(jax.random.PRNGKey(8), 64, 3)
+    vq_arrays = {"codebook": np.asarray(vq0.codebook),
+                 "embed_avg": np.asarray(vq0.embed_avg),
+                 "cluster_size": np.asarray(vq0.cluster_size) + 0.25}
+
+    sd_torch = _synthesize_n6_state_dict(init, vq_arrays, angle=True)
+    sd_np = {k[len("module."):]: np.asarray(v) for k, v in sd_torch.items()
+             if "dist_filter" not in k}
+    assert is_angle_layout(sd_np)
+
+    # reference run-directory layout: best_model.pt selected by modelnum 999
+    run_dir = tmp_path / "Vae_vqvaeangle_PDB_ns36_vq3_vq4096"
+    run_dir.mkdir()
+    torch.save(sd_torch, run_dir / "best_model.pt")
+
+    from codlad_tpu.cli.import_checkpoint import resolve_ckpt_file
+
+    ckpt_file = resolve_ckpt_file(str(run_dir), modelnum=999)
+    assert ckpt_file.endswith("best_model.pt")
+    params, vq = convert_vae(ckpt_file)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(init)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(params)[0]
+    a = {jax.tree_util.keystr(p): v for p, v in flat_a}
+    b = {jax.tree_util.keystr(p): v for p, v in flat_b}
+    assert set(a) == set(b), set(a) ^ set(b)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(b[k]), np.asarray(a[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+    np.testing.assert_allclose(vq["codebook"], vq_arrays["codebook"])
+
+    # full import CLI: run dir -> CheckpointManager dir with predict_angle
+    import json
+
+    from codlad_tpu.cli.import_checkpoint import main as import_main
+
+    out_dir = tmp_path / "k3_imported"
+    import_main(["--torch_ckpt", str(run_dir), "--modelnum", "999",
+                 "--kind", "vqvae", "--out", str(out_dir)])
+    cfg = json.loads((out_dir / "modelparams.json").read_text())
+    assert cfg["predict_angle"] is True and cfg["train_section"] == "vqvae"
+    assert cfg["codebook_size"] == 64
+
+    # the converted tree runs through the angle-variant model
     out = vae.apply(params, batch)
     assert np.isfinite(np.asarray(out)).all()
