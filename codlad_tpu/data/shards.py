@@ -22,6 +22,22 @@ from codlad_tpu.data.featurize import FeaturizeConfig, featurize_frame
 _STACK_KEYS = None  # all example keys are stackable per protein after padding
 
 
+def _savez_fast(path, **arrays):
+    """np.savez_compressed with deflate level 1: padded shards are mostly
+    zeros, where level 1 compresses nearly as well as the default level 6
+    but ~6x faster — on this 1-CPU build host the default made shard
+    alignment of a 32k-frame corpus a ~50-minute zlib run."""
+    import zipfile
+
+    tmp = path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED, compresslevel=1) as zf:
+        for k, v in arrays.items():
+            with zf.open(f"{k}.npy", "w", force_zip64=True) as f:
+                np.lib.format.write_array(f, np.asanyarray(v),
+                                          allow_pickle=False)
+    os.replace(tmp, path)
+
+
 def save_protein_shard(path, examples, spec: B.PadSpec | None = None):
     """Featurized frames of ONE protein -> a padded .npz shard.
 
@@ -29,8 +45,8 @@ def save_protein_shard(path, examples, spec: B.PadSpec | None = None):
     so shards of different proteins share XLA compilation buckets."""
     spec = spec or B.quantize_spec(B.spec_for(examples))
     stacked = B.collate(examples, spec)
-    np.savez_compressed(path, __spec__=np.array(json.dumps(dataclasses.asdict(spec))),
-                        **stacked)
+    _savez_fast(path, __spec__=np.array(json.dumps(dataclasses.asdict(spec))),
+                **stacked)
     return spec
 
 
@@ -99,7 +115,7 @@ def align_shard_buckets(directory):
         path = os.path.join(directory, f)
         _, data = load_protein_shard(path)
         data = repad_shard_data(data, specs[f], new_spec)
-        np.savez_compressed(
+        _savez_fast(
             path, __spec__=np.array(json.dumps(dataclasses.asdict(new_spec))),
             **data)
     return merged
