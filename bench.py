@@ -29,9 +29,17 @@ beyond the estimated baseline:
     FLOPs.  The FLOP numerator comes from XLA cost analysis WITH the
     Pallas kernels' pl.CostEstimate included (round 2 reported 1.85%
     because pallas_call scored 0 FLOPs without estimates — only ~30 of
-    the ~820 GFLOP/step were counted).  NB: ~230 GFLOP of that is
-    one-hot gather-contraction work (selection matmuls), so useful-work
-    MFU is ~0.7x the reported figure.
+    the ~820 GFLOP/step were counted).
+  * `useful_mfu`: denoise_mfu with the one-hot selection FLOPs EXCLUDED
+    from the numerator (the gather contractions are bookkeeping, not
+    model math: n_chains * 2*B*L*K*L*H FLOPs, one [TE, L] @ [L, H]
+    selection matmul per fused chain — 9 chains/step at this config).
+  * `stage1_train_ms` / `stage1_mfu`: Stage-1 (VQ-VAE) train step at the
+    FIXED profile shape B=4 frames x L=130 residues, bf16 feature path —
+    the docs/DESIGN.md §12 shape, kept constant across rounds.
+  * `stage2_train_ms`: Stage-2 (denoiser) train step at the FIXED shape
+    B=96 x L=128, k=64, bf16 mixed precision — same workload as the
+    headline metric, so train/sample efficiency stay comparable.
 """
 
 import json
@@ -150,10 +158,26 @@ def main():
     except Exception:
         pass
 
+    # ---- useful MFU: selection (one-hot gather) FLOPs excluded.
+    # One [TE, L] @ [L, H] selection matmul per fused chain; the chain
+    # count comes from the model config (enc layers update h_V AND h_E =
+    # 2 chains each, dec layers 1).
+    useful_mfu = None
+    if mfu is not None:
+        n_chains = 2 * model.num_encoder_layers + model.num_decoder_layers
+        K = min(model.k_neighbors, L)
+        sel_flops = n_chains * 2.0 * B * L * K * L * model.hidden_dim
+        useful_mfu = mfu * max(flops_per_step - sel_flops, 0.0) / flops_per_step
+
     # ---- end-to-end: denoise -> VQ snap -> IC decode -> Cartesian rebuild
     e2e = _bench_e2e(sample, rng_np=np.random.default_rng(1))
     e2e_mixed = _bench_e2e_mixed(model, diffusion, params_bf16,
                                  rng_np=np.random.default_rng(2))
+
+    # ---- train-step timings at FIXED, documented shapes (round-to-round
+    # comparable; VERDICT r3 weak #3)
+    s2_ms = _bench_stage2_train(model, diffusion, params, res_type, cg, mask)
+    s1_ms, s1_mfu = _bench_stage1_train()
 
     print(json.dumps({
         "metric": "denoise_steps_per_sec_per_chip_PED_eval(B96,L128,ddim100)",
@@ -164,8 +188,115 @@ def main():
             "e2e_structures_per_sec_per_chip": e2e,
             "e2e_mixed_structures_per_sec_per_chip": e2e_mixed,
             "denoise_mfu": round(mfu, 4) if mfu is not None else None,
+            "useful_mfu": (round(useful_mfu, 4)
+                           if useful_mfu is not None else None),
+            "stage2_train_ms(B96,L128,bf16)": s2_ms,
+            "stage1_train_ms(B4,L130,bf16)": s1_ms,
+            "stage1_mfu": s1_mfu,
         },
     }))
+
+
+def _time_chained(fn, state0, n=8, warmup=2):
+    """Median step time over a CHAIN of dependent calls (state_{i+1} =
+    fn(state_i)); the remote executor memoizes repeated identical
+    dispatches, so unchained timing reads cache hits, not device time."""
+    import jax
+
+    st = state0
+    for _ in range(warmup):
+        st = fn(st)
+    jax.block_until_ready(st)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        st = fn(st)
+    jax.block_until_ready(st)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def _bench_stage2_train(model, diffusion, params, res_type, cg, mask):
+    """One full Stage-2 train step (fwd+bwd+adamw+EMA, bf16 mixed
+    precision) at the headline workload shape B=96 x L=128."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from codlad_tpu.train.state import create_train_state
+    from codlad_tpu.train.steps import make_latent_step
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(3e-4))
+    state = create_train_state(params, tx, with_ema=True)
+    train_step, _ = make_latent_step(model, diffusion,
+                                     process_kind="diffusion",
+                                     compute_dtype="bfloat16")
+    x1 = jax.random.normal(jax.random.PRNGKey(7), (B, L, 3))
+    extras = {"res_type": res_type, "cg_xyz": cg, "mask": mask}
+
+    def step(carry):
+        st, x, i = carry
+        st, _ = train_step(st, x, extras, jax.random.fold_in(
+            jax.random.PRNGKey(8), i))
+        # chain x on the params so consecutive dispatches differ
+        return (st, x, i + 1)
+
+    ms = _time_chained(step, (state, x1, 0))
+    return round(ms, 2)
+
+
+def _bench_stage1_train():
+    """One full Stage-1 (VQ-VAE) train step at the FIXED docs/DESIGN.md
+    §12 profile shape: 4 frames x 130 residues (synthetic featurized
+    batch, 65k-edge capacity bucket), bf16 feature path.  Returns
+    (ms/step, measured MFU)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from codlad_tpu.data import batch as BM
+    from codlad_tpu.data.synthetic import synthetic_examples
+    from codlad_tpu.models.vae import VAE
+    from codlad_tpu.models.vq import vq_init
+    from codlad_tpu.train.losses import LossWeights
+    from codlad_tpu.train.state import create_train_state
+    from codlad_tpu.train.steps import make_vqvae_step, weights_to_array
+
+    exs = synthetic_examples(4, 132, seed=0)
+    spec = BM.quantize_spec(BM.spec_for(exs))
+    hb = {k: jnp.asarray(v) for k, v in BM.collate(exs, spec).items()}
+
+    vae = VAE(embed_dim=36, vqdim=3, mode="vqvae", dec_nconv=4, enc_nconv=3,
+              compute_dtype="bfloat16")
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(vae.init)(rng, hb)
+    tx = optax.chain(optax.clip_by_global_norm(5.0),
+                     optax.inject_hyperparams(optax.adamw)(learning_rate=1e-3))
+    state = create_train_state(params, tx, vq_state=vq_init(rng, 512, 3))
+    train_step, _ = make_vqvae_step(vae)
+    w = weights_to_array(LossWeights(zeta=5.0, omega=3.0).dynamic(2, True))
+
+    def step(carry):
+        st, i = carry
+        st, _ = train_step(st, hb, jax.random.fold_in(rng, i), w)
+        return (st, i + 1)
+
+    ms = _time_chained(step, (state, 0))
+
+    mfu = None
+    try:
+        cost = (jax.jit(train_step)
+                .lower(state, hb, rng, w).compile().cost_analysis())
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        kind = jax.devices()[0].device_kind.lower()
+        peaks = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
+                 "v5p": 459e12, "v6e": 918e12}
+        peak = next((v for k, v in peaks.items() if k in kind), 197e12)
+        if flops > 0:
+            mfu = round(flops / (ms / 1e3) / peak, 4)
+    except Exception:
+        pass
+    return round(ms, 2), mfu
 
 
 def _bench_e2e(sample, rng_np):
