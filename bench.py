@@ -98,7 +98,8 @@ def main():
     def step(rng, x, t_idx, p, c):
         def model_fn(x, t, rng, x_self_cond=None):
             out = model.apply(p, x.astype(jnp.bfloat16), t, c,
-                              deterministic=True, method=MPNNDenoiser.denoise)
+                              deterministic=True, fuse_pairs=True,
+                              method=MPNNDenoiser.denoise)
             return out.astype(jnp.float32)
         return diffusion.p_sample(rng, model_fn, x, t_idx)[0]
 
@@ -115,7 +116,8 @@ def main():
 
         def model_fn(x, t, rng, x_self_cond=None):
             out = model.apply(p, x.astype(jnp.bfloat16), t, c,
-                              deterministic=True, method=MPNNDenoiser.denoise)
+                              deterministic=True, fuse_pairs=True,
+                              method=MPNNDenoiser.denoise)
             return out.astype(jnp.float32)
 
         return diffusion.p_sample_loop(rng, model_fn, x.shape, noise=x)
@@ -433,7 +435,7 @@ def _bench_e2e_mixed(model, diffusion, params_bf16, rng_np):
 
         def model_fn(x, t, rng, x_self_cond=None):
             out = model.apply(p, x.astype(jnp.bfloat16), t, cond,
-                              deterministic=True,
+                              deterministic=True, fuse_pairs=True,
                               method=MPNNDenoiser.denoise)
             return out.astype(jnp.float32)
 

@@ -90,6 +90,7 @@ class SamplingPipeline:
             out = self.denoiser.apply(params, xin, t, cond,
                                       x_self_cond=x_self_cond,
                                       deterministic=True,
+                                      fuse_pairs=self.seq_shards == 0,
                                       method=self._denoiser_cls().denoise)
             return out.astype(jnp.float32)
 
@@ -116,6 +117,7 @@ class SamplingPipeline:
                    else jnp.concatenate([x_self_cond, x_self_cond], 0))
             out = self.denoiser.apply(params, x2, t2, cond2,
                                       x_self_cond=sc2, deterministic=True,
+                                      fuse_pairs=self.seq_shards == 0,
                                       method=self._denoiser_cls().denoise
                                       ).astype(jnp.float32)
             c, u = out[:x.shape[0]], out[x.shape[0]:]

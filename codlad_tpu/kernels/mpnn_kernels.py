@@ -272,6 +272,63 @@ def _edge_lnmod_kernel(sel_ref, a_ref, e_ref, g_ref, we_ref, w2_ref, b2_ref,
     out_ref[0] = out.reshape(TL, K, H).astype(out_ref.dtype)
 
 
+def _edge_then_sum_kernel(sel_ref, ae_ref, e_ref, ge_ref, wee_ref, w2e_ref,
+                          b2e_ref, w3e_ref, b3e_ref, sh_ref, sc_ref,
+                          gmod_ref, an_ref, gn_ref, wen_ref, w2n_ref,
+                          b2n_ref, w3n_ref, b3n_ref, mask_ref,
+                          eout_ref, nout_ref, *, has_oh):
+    """Layer-pair fusion (forward only): encoder layer i's h_E update
+    (edge chain + LN + adaLN modulate) CHAINED INTO the next layer's
+    node-message sum, whose edge operand is exactly that h_E output.
+
+    Why: the denoise step is HBM-bound (~4.2 GB/step at B96/L128/K64/H128
+    bf16, ~5.2 ms of the 7.7 ms step at 819 GB/s).  Running the two chains
+    as one kernel keeps h_E_{i+1} in VMEM for the node chain — saving its
+    [B, L, K, H] HBM read — AND reuses the selection tile, saving the
+    second [B, L*K, L] one-hot read: ~400 MB less traffic per fused pair.
+    The gather matmul itself runs twice (two payload tables); MXU FLOPs
+    are unchanged — this is a bandwidth optimization, not a FLOP one.
+    """
+    TL, K, H = e_ref.shape[1], e_ref.shape[2], e_ref.shape[3]
+    L = ge_ref.shape[1]
+    f32 = jnp.float32
+    dt = e_ref.dtype
+
+    oh = _selection(sel_ref, L, dt, has_oh)
+    # ---- edge half: identical math to _edge_lnmod_kernel
+    _, _, h2 = _chain_fwd(ae_ref, e_ref, oh, ge_ref, wee_ref, w2e_ref,
+                          b2e_ref)
+    x = jnp.dot(h2.astype(dt), w3e_ref[...],
+                preferred_element_type=f32) + b3e_ref[...].astype(f32)
+    e = e_ref[0].reshape(TL * K, H)
+    resid = e.astype(f32) + x
+    mean = resid.mean(axis=-1, keepdims=True)
+    var = ((resid - mean) ** 2).mean(axis=-1, keepdims=True)
+    ln = (resid - mean) * jax.lax.rsqrt(var + 1e-6)
+    sh = sh_ref[0].astype(f32)
+    sc = sc_ref[0].astype(f32)
+    gmod = gmod_ref[0].astype(f32)
+    e_out = gmod * (ln * (1.0 + sc) + sh)
+    # cast through the edge dtype FIRST: numerically identical to the
+    # unfused pipeline, where h_E round-trips HBM as `dt`
+    e2 = e_out.astype(dt)
+    eout_ref[0] = e2.reshape(TL, K, H)
+
+    # ---- node half: _sum_kernel math with E = the in-VMEM h_E output
+    g2 = jnp.dot(oh, gn_ref[0], preferred_element_type=f32)
+    a2 = jnp.broadcast_to(an_ref[0][:, None, :].astype(f32),
+                          (TL, K, H)).reshape(TL * K, H)
+    pre = a2 + jnp.dot(e2, wen_ref[...], preferred_element_type=f32) + g2
+    x2 = jnp.dot(_gelu(pre).astype(dt), w2n_ref[...],
+                 preferred_element_type=f32) + b2n_ref[...].astype(f32)
+    h2n = _gelu(x2)
+    maskf = mask_ref[0].astype(f32)
+    s = (h2n.reshape(TL, K, H) * maskf[..., None]).sum(axis=1)
+    nout = jnp.dot(s.astype(dt), w3n_ref[...], preferred_element_type=f32)
+    nout = nout + maskf.sum(axis=1)[:, None] * b3n_ref[...].astype(f32)
+    nout_ref[0] = nout.astype(nout_ref.dtype)
+
+
 def _tile_rows(L, K=64, H=128, bytes_per_edge_elem=12, dt=jnp.bfloat16):
     """Largest row tile whose per-edge working set stays well under VMEM
     (double-buffered inputs included in the byte estimate).
@@ -374,6 +431,80 @@ def _pallas_message_edge(A, E, Gn, idx, onehot, W_e, W2, b2, W3, b3):
         cost_estimate=_chain_cost(B, L, K, H, TL),
     )(sel, A.astype(dt), E, Gn.astype(dt),
       W_e.astype(dt), W2.astype(dt), b2, W3.astype(dt), b3)
+
+
+def _pallas_edge_then_sum(A_e, E, G_e, idx, onehot, W_e_e, W2_e, b2_e,
+                          W3_e, b3_e, sh, sc, gmod, A_n, G_n, W_e_n,
+                          W2_n, b2_n, W3_n, b3_n, mask):
+    B, L, K, H = E.shape
+    # ~2x the lnmod kernel's per-edge working set (two chains resident)
+    TL = _tile_rows(L, K, H, bytes_per_edge_elem=24, dt=E.dtype)
+    grid = (B, L // TL)
+    dt = E.dtype
+    sel, sel_spec, has_oh = _sel_operand(idx, onehot, dt, TL)
+
+    mod_spec = pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0))
+    node_spec = pl.BlockSpec((1, TL, H), lambda b, i: (b, i, 0))
+    table_spec = pl.BlockSpec((1, G_e.shape[1], H), lambda b, i: (b, 0, 0))
+    edge_spec = pl.BlockSpec((1, TL, K, H), lambda b, i: (b, i, 0, 0))
+    cost = _chain_cost(B, L, K, H, TL, epilogue_elems=B * L * K * H)
+    cost2 = pl.CostEstimate(
+        # both chains' MXU work; traffic ~= lnmod chain + node sum MINUS
+        # the saved E and onehot reads
+        flops=2 * cost.flops - 2 * B * L * K * H * H,  # node W3 is per-node
+        bytes_accessed=cost.bytes_accessed + B * L * H * 8,
+        transcendentals=2 * cost.transcendentals)
+    return pl.pallas_call(
+        functools.partial(_edge_then_sum_kernel, has_oh=has_oh),
+        grid=grid,
+        in_specs=([sel_spec, node_spec, edge_spec, table_spec]
+                  + _weight_specs(H)
+                  + [mod_spec, mod_spec, mod_spec]
+                  + [node_spec, table_spec]
+                  + _weight_specs(H)
+                  + [pl.BlockSpec((1, TL, K), lambda b, i: (b, i, 0))]),
+        out_specs=[edge_spec, node_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, L, K, H), E.dtype),
+                   jax.ShapeDtypeStruct((B, L, H), jnp.float32)],
+        cost_estimate=cost2,
+    )(sel, A_e.astype(dt), E, G_e.astype(dt),
+      W_e_e.astype(dt), W2_e.astype(dt), b2_e, W3_e.astype(dt), b3_e,
+      sh.astype(dt)[:, None, :], sc.astype(dt)[:, None, :],
+      gmod.astype(dt)[:, None, :],
+      A_n.astype(dt), G_n.astype(dt),
+      W_e_n.astype(dt), W2_n.astype(dt), b2_n, W3_n.astype(dt), b3_n,
+      mask.astype(jnp.float32))
+
+
+def fused_edge_then_sum(A_e, E, G_e, idx, onehot, W_e_e, W2_e, b2_e, W3_e,
+                        b3_e, sh, sc, gmod, A_n, G_n, W_e_n, W2_n, b2_n,
+                        W3_n, b3_n, mask, scale):
+    """FORWARD-ONLY layer-pair fusion for the sampling path: encoder
+    layer i's h_E update (edge chain + LN + adaLN) chained into the next
+    layer's node-message masked sum, one selection tile for both gathers.
+
+    Returns (h_E_next [B, L, K, H] in E.dtype, node_sum [B, L, H] f32).
+    Numerically identical to
+      e2 = fused_message_edge_lnmod(A_e, E, G_e, ...)
+      ns = fused_message_sum(A_n, e2, G_n, ..., mask, scale)
+    but with ~400 MB/step less HBM traffic at the bench shape (the e2
+    round trip and the second one-hot read stay in VMEM).  No VJP is
+    defined: training keeps the split kernels (their Pallas backwards);
+    use only under stop_gradient/sampling.
+    """
+    if _use_pallas():
+        impl = _shard_batched(
+            _pallas_edge_then_sum,
+            (1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 1))
+        e2, ns = impl(A_e, E, G_e, idx, onehot, W_e_e, W2_e, b2_e, W3_e,
+                      b3_e, sh, sc, gmod, A_n, G_n, W_e_n, W2_n, b2_n,
+                      W3_n, b3_n, mask)
+        return e2, ns / scale
+    e2 = _ref_message_edge_lnmod(A_e, E, G_e, idx, W_e_e, W2_e, b2_e,
+                                 W3_e, b3_e, sh, sc, gmod)
+    ns = _ref_message_sum(A_n, e2, G_n, idx, mask, W_e_n, W2_n, b2_n,
+                          W3_n, b3_n, scale)
+    return e2, ns
 
 
 def _pdrop_tile(L, K, H, dt):

@@ -95,7 +95,8 @@ class MPNNDenoiser(nn.Module):
                                gate_mode=self.adaln_mode, seq=self.seq)
                            for _ in range(self.num_encoder_layers)]
         self.dec_layers = [Dec(h, h * 3, dropout=self.dropout,
-                               gate_mode=self.adaln_mode)
+                               gate_mode=self.adaln_mode,
+                               masked=self.decoder_mask)
                            for _ in range(self.num_decoder_layers)]
         out_size = self.input_size * (2 if self.learn_sigma else 1)
         if self.final_adln:
@@ -142,8 +143,16 @@ class MPNNDenoiser(nn.Module):
                 "mask_attend": mask_attend}
 
     def denoise(self, x, t, cond, x_self_cond=None, deterministic=True,
-                decoding_rng=None):
-        """One denoiser evaluation given precomputed conditioning."""
+                decoding_rng=None, fuse_pairs=False):
+        """One denoiser evaluation given precomputed conditioning.
+
+        fuse_pairs=True (SAMPLING ONLY — the fused kernel has no VJP):
+        each encoder layer's h_E update chains into the next layer's node
+        message inside one Pallas kernel (kernels.fused_edge_then_sum),
+        reusing the selection tile and keeping h_E in VMEM — ~1.2 GB/step
+        less HBM traffic at the bench shape.  Requires trunk adaLN, dense
+        (non-seq) execution, decoder_mask off, remat off; silently falls
+        back otherwise."""
         B, L, _ = x.shape
         nbr, maskf = cond["nbr"], cond["maskf"].astype(x.dtype)
         E_idx = nbr["idx"]
@@ -160,6 +169,13 @@ class MPNNDenoiser(nn.Module):
 
         h_V = self.x_in(x)
         h_E = cond["h_E0"].astype(x.dtype)
+
+        fuse = (fuse_pairs and deterministic and self.seq is None
+                and not self.decoder_mask and not self.remat
+                and self.adaln_mode == "trunk" and self.dec_layers)
+        if fuse:
+            return self._denoise_fused(h_V, h_E, nbr, maskf, mask_attend,
+                                       h_S, c, deterministic)
 
         for layer in self.enc_layers:
             # positional: nn.remat's static_argnums are positional indices
@@ -218,6 +234,68 @@ class MPNNDenoiser(nn.Module):
             for layer in self.dec_layers:
                 h_V = layer(h_V, nbr, h_E, s_node, h_V + h_V_enc,
                             maskf, None, c, deterministic, 2.0)
+
+        if self.final_adln:
+            return self.w_out(h_V, c)
+        return self.w_out(h_V)
+
+    def _denoise_fused(self, h_V, h_E, nbr, maskf, mask_attend, h_S, c,
+                       deterministic):
+        """Sampling-path body with encoder-edge -> next-node layer pairs
+        fused (see `denoise(fuse_pairs=True)`).  Numerically identical to
+        the unfused trunk path: the fused kernel casts h_E through the
+        edge dtype exactly where the HBM round trip used to."""
+        from codlad_tpu.kernels.mpnn_kernels import fused_edge_then_sum
+
+        enc = self.enc_layers
+        idx = nbr["idx"]
+        oh = nbr.get("onehot")
+        Hd = h_E.shape[-1]
+        m = [l.mods(c) for l in enc]
+
+        h_V = enc[0].node_half(h_V, h_E, nbr, maskf, mask_attend,
+                               *m[0][:6], deterministic=deterministic)
+        s_scale = 2.0 if self.use_seq_in_encoder else 1.0
+        s_node = s_scale * h_S
+        h_V_enc = None
+        for i, layer in enumerate(enc):
+            sh3, sc3, g3 = m[i][6:9]
+            A_e, G_e, We_e, W2_e, b2_e, W3_e, b3_e = \
+                layer.SplitMessageChain_1.components(h_V, Hd, h_V)
+            if i + 1 < len(enc):
+                nxt = enc[i + 1]
+                A_n, G_n, We_n, W2_n, b2_n, W3_n, b3_n = \
+                    nxt.SplitMessageChain_0.components(h_V, Hd, h_V)
+                h_E, dh = fused_edge_then_sum(
+                    A_e, h_E, G_e, idx, oh, We_e, W2_e, b2_e, W3_e, b3_e,
+                    sh3, sc3, g3, A_n, G_n, We_n, W2_n, b2_n, W3_n, b3_n,
+                    mask_attend, nxt.SplitMessageChain_0.scale)
+                h_V = nxt.node_epilogue(h_V, dh, *m[i + 1][:6],
+                                        mask_V=maskf,
+                                        deterministic=deterministic)
+            else:
+                # last pair: encoder edge update + FIRST DECODER layer's
+                # node message (its edge block is 2*h_E -> edge_scale
+                # folded into W_e; node block h_V + h_V_enc = 2*h_V here)
+                h_V_enc = h_V
+                dec1 = self.dec_layers[0]
+                md = dec1.mods(c)
+                A_n, G_n, We_n, W2_n, b2_n, W3_n, b3_n = \
+                    dec1.SplitMessageChain_0.components(
+                        h_V, Hd,
+                        jnp.concatenate([s_node, h_V + h_V_enc], axis=-1))
+                We_n = We_n * 2.0
+                ones = jnp.ones(idx.shape, h_V.dtype)
+                h_E, dh = fused_edge_then_sum(
+                    A_e, h_E, G_e, idx, oh, We_e, W2_e, b2_e, W3_e, b3_e,
+                    sh3, sc3, g3, A_n, G_n, We_n, W2_n, b2_n, W3_n, b3_n,
+                    ones, dec1.SplitMessageChain_0.scale)
+                h_V = dec1.node_epilogue(h_V, dh, *md, mask_V=maskf,
+                                         deterministic=deterministic)
+
+        for layer in self.dec_layers[1:]:
+            h_V = layer(h_V, nbr, h_E, s_node, h_V + h_V_enc,
+                        maskf, None, c, deterministic, 2.0)
 
         if self.final_adln:
             return self.w_out(h_V, c)

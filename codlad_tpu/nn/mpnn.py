@@ -303,6 +303,34 @@ class SplitMessageChain(nn.Module):
     edge_scale: float = 1.0
 
     @nn.compact
+    def components(self, h_self, edge_pre_dim, nbr_node_pre):
+        """The chain's node-level pieces + raw weights, for callers that
+        feed a fused cross-layer kernel (kernels.fused_edge_then_sum):
+        (A [B, L, H], Gn [B, N, H], W_e (edge_scale folded), W2, b2, W3,
+        b3).  `edge_pre_dim` is the trailing dim of the edge operand (the
+        W_e input width) — a static int, since the fused caller never
+        materializes the edge tensor this chain would consume."""
+        H = self.num_hidden
+        # torch-parity init (see nn/layers.torch_linear_init): xavier
+        # weights, nonzero uniform biases — the biases break the
+        # adaLN-zero trunk-gating gradient deadlock
+        A = nn.Dense(H, **torch_linear_init(h_self.shape[-1]))(h_self)
+        Gn = nn.Dense(H, use_bias=False,
+                      kernel_init=nn.initializers.xavier_uniform())(nbr_node_pre)
+        init = nn.initializers.xavier_uniform()
+        ubound = 1.0 / np.sqrt(H)
+        uinit = lambda key, shape: jax.random.uniform(key, shape,
+                                                      jnp.float32,
+                                                      -ubound, ubound)
+        W_e = self.param("W_e", init, (edge_pre_dim, H))
+        W2 = self.param("W2", init, (H, H))
+        b2 = self.param("b2", uinit, (H,))
+        W3 = self.param("W3", init, (H, H))
+        b3 = self.param("b3", uinit, (H,))
+        if self.edge_scale != 1.0:
+            W_e = W_e * self.edge_scale
+        return A, Gn, W_e, W2, b2, W3, b3
+
     def __call__(self, h_self, edge_pre, nbr_node_pre, nbr, mask_attend=None,
                  ln_mod=None, keep=None, pdrop=None):
         """h_self: [B, L, H]; edge_pre: [B, L, K, H] per-edge features;
@@ -322,25 +350,8 @@ class SplitMessageChain(nn.Module):
         edge_scale: static scalar folded into W_e — callers whose edge
         input is c*h_E pass h_E and edge_scale=c instead of materializing
         a scaled [B, L, K, H] copy in HBM (W_e is linear)."""
-        H = self.num_hidden
-        # torch-parity init (see nn/layers.torch_linear_init): xavier
-        # weights, nonzero uniform biases — the biases break the
-        # adaLN-zero trunk-gating gradient deadlock
-        A = nn.Dense(H, **torch_linear_init(h_self.shape[-1]))(h_self)
-        Gn = nn.Dense(H, use_bias=False,
-                      kernel_init=nn.initializers.xavier_uniform())(nbr_node_pre)
-        init = nn.initializers.xavier_uniform()
-        ubound = 1.0 / np.sqrt(H)
-        uinit = lambda key, shape: jax.random.uniform(key, shape,
-                                                      jnp.float32,
-                                                      -ubound, ubound)
-        W_e = self.param("W_e", init, (edge_pre.shape[-1], H))
-        W2 = self.param("W2", init, (H, H))
-        b2 = self.param("b2", uinit, (H,))
-        W3 = self.param("W3", init, (H, H))
-        b3 = self.param("b3", uinit, (H,))
-        if self.edge_scale != 1.0:
-            W_e = W_e * self.edge_scale
+        A, Gn, W_e, W2, b2, W3, b3 = self.components(
+            h_self, edge_pre.shape[-1], nbr_node_pre)
         idx = nbr["idx"]
         onehot = nbr.get("onehot")
         if self.reduce_sum:
@@ -378,58 +389,91 @@ class EncLayerDiffusion(nn.Module):
     gate_mode: str = "trunk"  # 'trunk' (reference) | 'residual' (DiT-style)
     seq: tuple | None = None  # (axis_name, n_shards) sequence sharding
 
-    @nn.compact
-    def __call__(self, h_V, h_E, nbr, mask_V=None, mask_attend=None, c=None,
-                 deterministic=True):
-        mods = nn.Dense(9 * self.num_hidden, kernel_init=nn.initializers.zeros,
-                        bias_init=nn.initializers.zeros)(jax.nn.silu(c))
-        (sh1, sc1, g1, sh2, sc2, g2, sh3, sc3, g3) = jnp.split(mods, 9, axis=-1)
+    def setup(self):
+        # attribute names mirror the previous nn.compact auto-names so
+        # checkpoints stay loadable across the refactor
+        self.Dense_0 = nn.Dense(9 * self.num_hidden,
+                                kernel_init=nn.initializers.zeros,
+                                bias_init=nn.initializers.zeros)
+        self.SplitMessageChain_0 = SplitMessageChain(
+            self.num_hidden, reduce_sum=True, scale=self.scale)
+        self.PositionWiseFeedForward_0 = PositionWiseFeedForward(
+            self.num_hidden, self.num_hidden * 4)
+        self.SplitMessageChain_1 = SplitMessageChain(self.num_hidden)
+        self.Dropout_0 = nn.Dropout(self.dropout)
+        self.LayerNorm_0 = nn.LayerNorm(use_bias=False, use_scale=False,
+                                        epsilon=1e-6)
 
-        ln = lambda: nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)
-        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+    def mods(self, c):
+        """The 9-way adaLN modulation splits for one conditioning batch."""
+        return jnp.split(self.Dense_0(jax.nn.silu(c)), 9, axis=-1)
+
+    def _tbl(self, v):
         # gather tables: with rows sharded over the sequence axis, the
         # chains gather neighbor state from the all-gathered full table
         # ([B, L, H] — cheap; the [B, L, K, H] edge work stays sharded)
         if self.seq is not None:
             from codlad_tpu.parallel.sequence import seq_all_gather
-            tbl = lambda v: seq_all_gather(v, self.seq[0])
-        else:
-            tbl = lambda v: v
+            return seq_all_gather(v, self.seq[0])
+        return v
+
+    def node_epilogue(self, h_V, dh, sh1, sc1, g1, sh2, sc2, g2,
+                      mask_V=None, deterministic=True):
+        """Trunk-mode h_V update from a precomputed node-message sum:
+        LN -> modulate/gate -> PFF -> LN -> modulate/gate -> mask."""
+        ln = self.LayerNorm_0
+        drop = lambda x: self.Dropout_0(x, deterministic=deterministic)
+        h_V = ln(h_V + drop(dh.astype(h_V.dtype)))
+        h_V = g1[:, None, :] * modulate(h_V, sh1, sc1)
+        dh2 = self.PositionWiseFeedForward_0(h_V)
+        h_V = ln(h_V + drop(dh2))
+        h_V = g2[:, None, :] * modulate(h_V, sh2, sc2)
+        if mask_V is not None:
+            h_V = mask_V[..., None] * h_V
+        return h_V
+
+    def node_half(self, h_V, h_E, nbr, mask_V, mask_attend, sh1, sc1, g1,
+                  sh2, sc2, g2, deterministic=True):
+        """Trunk-mode node update (message chain + epilogue) WITHOUT the
+        edge update — the fused sampling path computes the edge update
+        inside the previous pair's kernel."""
+        dh = self.SplitMessageChain_0(h_V, h_E, self._tbl(h_V), nbr,
+                                      mask_attend=mask_attend)
+        return self.node_epilogue(h_V, dh, sh1, sc1, g1, sh2, sc2, g2,
+                                  mask_V, deterministic)
+
+    def __call__(self, h_V, h_E, nbr, mask_V=None, mask_attend=None, c=None,
+                 deterministic=True):
+        (sh1, sc1, g1, sh2, sc2, g2, sh3, sc3, g3) = self.mods(c)
+
+        ln = self.LayerNorm_0
+        drop = lambda x: self.Dropout_0(x, deterministic=deterministic)
+        tbl = self._tbl
 
         if self.gate_mode == "residual":
             # DiT-style: gates scale the BRANCH, identity at init (the
             # reference zeroes the whole trunk through the gate,
             # protein_mpnn_utils.py:249,270 — see ROADMAP 7)
-            x = modulate(ln()(h_V), sh1, sc1)
-            dh = SplitMessageChain(self.num_hidden, reduce_sum=True,
-                                   scale=self.scale)(x, h_E, tbl(x), nbr,
-                                                     mask_attend=mask_attend)
+            x = modulate(ln(h_V), sh1, sc1)
+            dh = self.SplitMessageChain_0(x, h_E, tbl(x), nbr,
+                                          mask_attend=mask_attend)
             h_V = h_V + g1[:, None, :] * drop(dh.astype(h_V.dtype))
-            x = modulate(ln()(h_V), sh2, sc2)
-            dh = PositionWiseFeedForward(self.num_hidden, self.num_hidden * 4)(x)
+            x = modulate(ln(h_V), sh2, sc2)
+            dh = self.PositionWiseFeedForward_0(x)
             h_V = h_V + g2[:, None, :] * drop(dh)
             if mask_V is not None:
                 h_V = mask_V[..., None] * h_V
-            xe = modulate(ln()(h_E), sh3, sc3)
-            h_message = SplitMessageChain(self.num_hidden)(h_V, xe, tbl(h_V), nbr)
+            xe = modulate(ln(h_E), sh3, sc3)
+            h_message = self.SplitMessageChain_1(h_V, xe, tbl(h_V), nbr)
             h_E = h_E + g3[:, None, None, :] * drop(h_message.astype(h_E.dtype))
             return h_V, h_E
 
-        dh = SplitMessageChain(self.num_hidden, reduce_sum=True,
-                               scale=self.scale)(h_V, h_E, tbl(h_V), nbr,
-                                                 mask_attend=mask_attend)
-        h_V = ln()(h_V + drop(dh.astype(h_V.dtype)))
-        h_V = g1[:, None, :] * modulate(h_V, sh1, sc1)
-
-        dh = PositionWiseFeedForward(self.num_hidden, self.num_hidden * 4)(h_V)
-        h_V = ln()(h_V + drop(dh))
-        h_V = g2[:, None, :] * modulate(h_V, sh2, sc2)
-        if mask_V is not None:
-            h_V = mask_V[..., None] * h_V
+        h_V = self.node_half(h_V, h_E, nbr, mask_V, mask_attend,
+                             sh1, sc1, g1, sh2, sc2, g2, deterministic)
 
         if deterministic or self.dropout == 0.0:
             # dropout is identity: fold LN + modulate/gate into the kernel
-            h_E = SplitMessageChain(self.num_hidden)(
+            h_E = self.SplitMessageChain_1(
                 h_V, h_E, tbl(h_V), nbr, ln_mod=(sh3, sc3, g3))
         else:
             # training: dropout fused into the same kernel epilogue, mask
@@ -440,7 +484,7 @@ class EncLayerDiffusion(nn.Module):
             seeds = jax.random.randint(key, (h_E.shape[0],), 0,
                                        np.iinfo(np.int32).max,
                                        dtype=jnp.int32)
-            h_E = SplitMessageChain(self.num_hidden)(
+            h_E = self.SplitMessageChain_1(
                 h_V, h_E, tbl(h_V), nbr, ln_mod=(sh3, sc3, g3),
                 pdrop=(seeds, self.dropout))
         return h_V, h_E
@@ -462,63 +506,111 @@ class DecLayerDiffusion(nn.Module):
     dropout: float = 0.1
     scale: float = 30.0
     gate_mode: str = "trunk"  # 'trunk' (reference) | 'residual' (DiT-style)
+    masked: bool = False      # autoregressive (decoder_mask) configuration
 
-    @nn.compact
+    def setup(self):
+        H = self.num_hidden
+        # attribute names mirror the previous nn.compact auto-names so
+        # checkpoints stay loadable across the refactor
+        self.Dense_0 = nn.Dense(6 * H, kernel_init=nn.initializers.zeros,
+                                bias_init=nn.initializers.zeros)
+        self.PositionWiseFeedForward_0 = PositionWiseFeedForward(H, H * 4)
+        self.Dropout_0 = nn.Dropout(self.dropout)
+        self.LayerNorm_0 = nn.LayerNorm(use_bias=False, use_scale=False,
+                                        epsilon=1e-6)
+        if self.masked:
+            xavier = nn.initializers.xavier_uniform()
+            self.Dense_1 = nn.Dense(H, use_bias=False, kernel_init=xavier)
+            self.Dense_2 = nn.Dense(H, use_bias=False, kernel_init=xavier)
+            self.Dense_3 = nn.Dense(H, **torch_linear_init(H))
+            self.Dense_4 = nn.Dense(H, use_bias=False, kernel_init=xavier)
+            self.Dense_5 = nn.Dense(H, **torch_linear_init(H))
+            self.Dense_6 = nn.Dense(H, **torch_linear_init(H))
+        else:
+            self.SplitMessageChain_0 = SplitMessageChain(
+                H, reduce_sum=True, scale=self.scale)
+
+    def mods(self, c):
+        """The 6-way adaLN modulation splits for one conditioning batch."""
+        return jnp.split(self.Dense_0(jax.nn.silu(c)), 6, axis=-1)
+
+    def node_epilogue(self, h_V, dh, sh1, sc1, g1, sh2, sc2, g2,
+                      mask_V=None, deterministic=True):
+        """Trunk-mode h_V update from a precomputed node-message sum."""
+        ln = self.LayerNorm_0
+        drop = lambda x: self.Dropout_0(x, deterministic=deterministic)
+        h_V = ln(h_V + drop(dh.astype(h_V.dtype)))
+        h_V = g1[:, None, :] * modulate(h_V, sh1, sc1)
+        dh2 = self.PositionWiseFeedForward_0(h_V)
+        h_V = ln(h_V + drop(dh2))
+        h_V = g2[:, None, :] * modulate(h_V, sh2, sc2)
+        if mask_V is not None:
+            h_V = mask_V[..., None] * h_V
+        return h_V
+
     def __call__(self, h_V, nbr, edge_pre, s_node, v_node, mask_V=None,
                  mask_attend=None, c=None, deterministic=True,
                  edge_scale=1.0):
-        mods = nn.Dense(6 * self.num_hidden, kernel_init=nn.initializers.zeros,
-                        bias_init=nn.initializers.zeros)(jax.nn.silu(c))
-        sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mods, 6, axis=-1)
+        sh1, sc1, g1, sh2, sc2, g2 = self.mods(c)
 
-        ln = lambda: nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)
-        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        ln = self.LayerNorm_0
+        drop = lambda x: self.Dropout_0(x, deterministic=deterministic)
         act = lambda x: jax.nn.gelu(x, approximate=False)
-        H = self.num_hidden
         residual_gates = self.gate_mode == "residual"
         h_V_in = h_V
         if residual_gates:
-            h_V = modulate(ln()(h_V), sh1, sc1)
+            h_V = modulate(ln(h_V), sh1, sc1)
 
         if s_node.ndim == 3 and v_node.ndim == 3:
             # production path: node blocks concatenated -> one Dense inside
-            # the fused chain (equals the sum of per-block Denses)
-            dh = SplitMessageChain(H, reduce_sum=True, scale=self.scale,
-                                   edge_scale=edge_scale)(
-                h_V, edge_pre, jnp.concatenate([s_node, v_node], axis=-1),
-                nbr, mask_attend=mask_attend)
+            # the fused chain (equals the sum of per-block Denses).
+            # NB: SplitMessageChain.edge_scale is a module attribute; the
+            # per-call edge_scale is folded into the chain's W_e here by
+            # scaling the EDGE OPERAND's contribution equivalently — the
+            # chain is constructed with edge_scale=1, so pass the scale
+            # through the module attribute path kept below.
+            dh = self._chain(h_V, edge_pre, s_node, v_node, nbr,
+                             mask_attend, edge_scale)
         else:
+            assert self.masked, (
+                "per-edge node blocks require masked=True (decoder_mask)")
             # masked-decoder path: per-edge [B,L,K,H] blocks, explicit ops
-            xavier = nn.initializers.xavier_uniform()
-            d_s = nn.Dense(H, use_bias=False, kernel_init=xavier)
-            d_v = nn.Dense(H, use_bias=False, kernel_init=xavier)
-            nbr_term = d_s(s_node if s_node.ndim == 4 else gather_neighbors(s_node, nbr))
-            nbr_term = nbr_term + d_v(v_node if v_node.ndim == 4 else gather_neighbors(v_node, nbr))
-            pre = (nn.Dense(H, **torch_linear_init(H))(h_V)[:, :, None, :]
-                   + nn.Dense(H, use_bias=False, kernel_init=xavier)(edge_pre)
+            nbr_term = self.Dense_1(
+                s_node if s_node.ndim == 4 else gather_neighbors(s_node, nbr))
+            nbr_term = nbr_term + self.Dense_2(
+                v_node if v_node.ndim == 4 else gather_neighbors(v_node, nbr))
+            pre = (self.Dense_3(h_V)[:, :, None, :]
+                   + self.Dense_4(edge_pre)
                    + nbr_term)
-            h_message = nn.Dense(H, **torch_linear_init(H))(
-                act(nn.Dense(H, **torch_linear_init(H))(act(pre))))
+            h_message = self.Dense_5(act(self.Dense_6(act(pre))))
             if mask_attend is not None:
                 h_message = mask_attend[..., None] * h_message
             dh = jnp.sum(h_message, axis=-2) / self.scale
         if residual_gates:
             h_V = h_V_in + g1[:, None, :] * drop(dh.astype(h_V_in.dtype))
-            x = modulate(ln()(h_V), sh2, sc2)
-            dh = PositionWiseFeedForward(self.num_hidden, self.num_hidden * 4)(x)
+            x = modulate(ln(h_V), sh2, sc2)
+            dh = self.PositionWiseFeedForward_0(x)
             h_V = h_V + g2[:, None, :] * drop(dh)
             if mask_V is not None:
                 h_V = mask_V[..., None] * h_V
             return h_V
-        h_V = ln()(h_V + drop(dh.astype(h_V.dtype)))
-        h_V = g1[:, None, :] * modulate(h_V, sh1, sc1)
+        return self.node_epilogue(h_V_in, dh, sh1, sc1, g1, sh2, sc2, g2,
+                                  mask_V, deterministic)
 
-        dh = PositionWiseFeedForward(self.num_hidden, self.num_hidden * 4)(h_V)
-        h_V = ln()(h_V + drop(dh))
-        h_V = g2[:, None, :] * modulate(h_V, sh2, sc2)
-        if mask_V is not None:
-            h_V = mask_V[..., None] * h_V
-        return h_V
+    def _chain(self, h_V, edge_pre, s_node, v_node, nbr, mask_attend,
+               edge_scale):
+        A, Gn, W_e, W2, b2, W3, b3 = self.SplitMessageChain_0.components(
+            h_V, edge_pre.shape[-1],
+            jnp.concatenate([s_node, v_node], axis=-1))
+        if edge_scale != 1.0:
+            W_e = W_e * edge_scale
+        from codlad_tpu.kernels.mpnn_kernels import fused_message_sum
+        idx = nbr["idx"]
+        if mask_attend is None:
+            mask_attend = jnp.ones(idx.shape, A.dtype)
+        return fused_message_sum(A, edge_pre, Gn, idx, nbr.get("onehot"),
+                                 mask_attend, W_e, W2, b2, W3, b3,
+                                 self.scale)
 
 
 class ProteinFeatures(nn.Module):

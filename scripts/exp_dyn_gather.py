@@ -49,12 +49,17 @@ def k_iota(idx_ref, g_ref, w_ref, o_ref):
 
 
 def k_dyn(idx_ref, g_ref, w_ref, o_ref):
-    idx = idx_ref[0].reshape(TL * K)                   # [TE]
-    tab = g_ref[0]                                     # [L, H]
+    # idx arrives pre-chunked [n_chunks, L]; one transpose puts the row
+    # indices on the SUBLANE dim, then each chunk is a static column
+    # slice + lane-broadcast feeding tpu.dynamic_gather.
+    n_chunks = TL * K // L
+    idx_t = jnp.transpose(idx_ref[0], (1, 0))          # [L, n_chunks]
+    # tpu.dynamic_gather needs matching index/data bitwidths: gather the
+    # table as f32 (int32 indices), cast after
+    tab = g_ref[0].astype(jnp.float32)                 # [L, H]
     chunks = []
-    for c in range(TL * K // L):
-        idc = jax.lax.broadcast_in_dim(
-            jax.lax.dynamic_slice(idx, (c * L,), (L,)), (L, H), (0,))
+    for c in range(n_chunks):
+        idc = jnp.broadcast_to(idx_t[:, c:c + 1], (L, H))
         chunks.append(jnp.take_along_axis(tab, idc, axis=0))
     g = jnp.concatenate(chunks, axis=0)                # [TE, H]
     o_ref[0] = _payload(g, w_ref[...]).reshape(TL, K, H).astype(o_ref.dtype)
@@ -69,9 +74,13 @@ def build(kind):
     if kind == "oh":
         sel_spec = pl.BlockSpec((1, TL * K, L), lambda b, t: (b, t, 0))
         kern = k_oh
+    elif kind == "dyn":
+        # idx pre-chunked host-side: [B, tiles * n_chunks, L]
+        sel_spec = pl.BlockSpec((1, TL * K // L, L), lambda b, t: (b, t, 0))
+        kern = k_dyn
     else:
         sel_spec = pl.BlockSpec((1, TL, K), lambda b, t: (b, t, 0))
-        kern = k_iota if kind == "iota" else k_dyn
+        kern = k_iota
     return pl.pallas_call(
         kern, grid=grid,
         in_specs=[sel_spec, g_spec, w_spec],
@@ -80,16 +89,13 @@ def build(kind):
 
 def main():
     rng = np.random.default_rng(0)
-    idx = jnp.asarray(rng.integers(0, L, size=(B, L // TL, TL, K)).astype(np.int32))
-    idx_flat = idx.reshape(B, L, K)
-    oh_np = jax.nn.one_hot(idx.reshape(B, L // TL, TL * K), L, dtype=DT)
+    idx = jnp.asarray(rng.integers(0, L, size=(B, L, K)).astype(np.int32))
+    oh_np = jax.nn.one_hot(idx.reshape(B, L * K), L, dtype=DT)
     G = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32)).astype(DT)
     W = jnp.asarray(rng.normal(size=(H, H)).astype(np.float32)).astype(DT)
 
-    ref = np.take_along_axis(
-        np.asarray(G.astype(jnp.float32))[:, None],
-        np.asarray(idx).reshape(B, 1, L * K)[..., None], axis=2
-    ).reshape(B, L, K, H)
+    ref = np.asarray(G.astype(jnp.float32))[
+        np.arange(B)[:, None, None], np.asarray(idx)]          # [B, L, K, H]
     ref_out = np.einsum("blkh,hj->blkj", ref.astype(np.float32), np.asarray(W.astype(jnp.float32)))
 
     for kind in ("oh", "iota", "dyn"):
@@ -97,8 +103,12 @@ def main():
             f = jax.jit(build(kind))
             if kind == "oh":
                 args0 = (oh_np, G, W)
+            elif kind == "dyn":
+                # [B, L, K] -> [B, tiles*n_chunks, L]: row-major edge order
+                # within each TL-tile is preserved (TL*K = n_chunks * L)
+                args0 = (idx.reshape(B, L * K // L, L), G, W)
             else:
-                args0 = (idx.reshape(B, L // TL, TL, K), G, W)
+                args0 = (idx, G, W)
             out = f(*args0)
             out.block_until_ready()
             err = float(jnp.max(jnp.abs(out.astype(jnp.float32).reshape(B, L, K, H)
@@ -109,10 +119,7 @@ def main():
             N = 30
             for i in range(N):
                 g = (g + 0.0 * out[:, :, 0, :].astype(DT)).astype(DT)
-                if kind == "oh":
-                    out = f(oh_np, g, W)
-                else:
-                    out = f(idx.reshape(B, L // TL, TL, K), g, W)
+                out = f(args0[0], g, W)
             out.block_until_ready()
             dt = (time.perf_counter() - t0) / N * 1e3
             print(f"{kind:5s}: {dt:7.3f} ms/call  max_err={err:.3e}")

@@ -760,3 +760,75 @@ def test_pdrop_xla_bwd_hook_uses_forward_mask():
                           got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-3, rtol=1e-3, err_msg=name)
+
+
+def test_fused_edge_then_sum_matches_split_kernels():
+    """Layer-pair fusion (fwd-only, sampling path): fused_edge_then_sum
+    must equal fused_message_edge_lnmod followed by fused_message_sum on
+    its output — both selection modes, f32 and bf16."""
+    for dtype in (jnp.float32, jnp.bfloat16):
+        A_e, E, G_e, idx, mask, W_e, W2, b2, W3, b3 = _inputs(dtype=dtype)
+        A_n, _, G_n, _, _, W_en, W2n, b2n, W3n, b3n = _inputs(seed=7,
+                                                              dtype=dtype)
+        B, L, K, H = E.shape
+        rng = np.random.default_rng(3)
+        sh = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1, dtype)
+        sc = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1, dtype)
+        g = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.5, dtype)
+        onehot = jax.nn.one_hot(idx.reshape(B, L * K), L, dtype=dtype)
+
+        # ground truth: the two split pure-JAX twins composed
+        e2_ref = MK._ref_message_edge_lnmod(A_e, E, G_e, idx, W_e, W2, b2,
+                                            W3, b3, sh, sc, g)
+        ns_ref = MK._ref_message_sum(A_n, e2_ref, G_n, idx, mask,
+                                     W_en, W2n, b2n, W3n, b3n, 30.0)
+
+        with _force_pallas():
+            for oh in (None, onehot):
+                e2, ns = MK.fused_edge_then_sum(
+                    A_e, E, G_e, idx, oh, W_e, W2, b2, W3, b3, sh, sc, g,
+                    A_n, G_n, W_en, W2n, b2n, W3n, b3n, mask, 30.0)
+                tol = 5e-2 if dtype == jnp.bfloat16 else 2e-4
+                np.testing.assert_allclose(
+                    np.asarray(e2, np.float32), np.asarray(e2_ref, np.float32),
+                    atol=tol, err_msg=f"e2 {dtype} oh={oh is not None}")
+                np.testing.assert_allclose(
+                    np.asarray(ns), np.asarray(ns_ref), atol=tol,
+                    err_msg=f"ns {dtype} oh={oh is not None}")
+
+
+def test_denoise_fuse_pairs_matches_unfused():
+    """denoise(fuse_pairs=True) — the sampling path with encoder-edge ->
+    next-node layer pairs fused — must match the unfused forward, both
+    through the pure-JAX fallback and the interpreted Pallas kernel."""
+    from codlad_tpu.models.denoiser import MPNNDenoiser, mpnn_diffusion
+
+    model = mpnn_diffusion(input_size=3, learn_sigma=True, dropout=0.0,
+                           k_neighbors=8)
+    B, L = 2, 16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, L, 3)).astype(np.float32))
+    t = jnp.zeros((B,), jnp.int32)
+    res = jnp.asarray(rng.integers(0, 20, (B, L)).astype(np.int32))
+    cg = jnp.asarray(np.cumsum(3.8 * rng.normal(size=(B, L, 3)), 1).astype(np.float32))
+    mask = jnp.ones((B, L), bool).at[:, -3:].set(False)
+    params = model.init(jax.random.PRNGKey(0), x, t, res, cg, mask)
+    cond = model.apply(params, res, cg, mask,
+                       method=MPNNDenoiser.compute_condition)
+
+    ref = model.apply(params, x, t, cond, deterministic=True,
+                      method=MPNNDenoiser.denoise)
+    fused = model.apply(params, x, t, cond, deterministic=True,
+                        fuse_pairs=True, method=MPNNDenoiser.denoise)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=1e-5, err_msg="pure-JAX fallback")
+
+    with _force_pallas():
+        fused_k = model.apply(params, x, t, cond, deterministic=True,
+                              fuse_pairs=True, method=MPNNDenoiser.denoise)
+        ref_k = model.apply(params, x, t, cond, deterministic=True,
+                            method=MPNNDenoiser.denoise)
+    np.testing.assert_allclose(np.asarray(fused_k), np.asarray(ref_k),
+                               atol=2e-4, err_msg="interpreted kernels")
+    np.testing.assert_allclose(np.asarray(fused_k), np.asarray(ref),
+                               atol=2e-4, err_msg="kernel vs pure-JAX")
