@@ -212,9 +212,22 @@ def main(argv=None):
                              learning_rate=args.lr))
     state = create_train_state(params, tx, vq_state=vq_state)
 
+    start_epoch = 0
     if args.resume and ckpt.exists("last"):
         state = ckpt.restore(state, "last")
         logger.info(f"resumed from step {int(state.step)}")
+        # continue the EPOCH schedule too (dynamic loss weights and the
+        # save cadence are epoch-keyed): pick up after the last epoch the
+        # run log recorded
+        log_csv = os.path.join(args.logdir, "train_log.csv")
+        if os.path.exists(log_csv):
+            import csv as _csv
+
+            with open(log_csv) as f:
+                rows = list(_csv.DictReader(f))
+            if rows:
+                start_epoch = int(float(rows[-1]["epoch"])) + 1
+                logger.info(f"resuming at epoch {start_epoch}")
     if mesh is not None:
         state = mesh_mod.replicate(state, mesh)
 
@@ -231,7 +244,7 @@ def main(argv=None):
     val_history, best_val = [], np.inf
     current_lr = args.lr
 
-    for epoch in range(args.nepochs):
+    for epoch in range(start_epoch, args.nepochs):
         w = weights_to_array(base_w.dynamic(epoch, args.dynamic_loss))
         timer = Timer()
 
@@ -262,6 +275,14 @@ def main(argv=None):
                 for k, v in metrics.items():
                     sums[k] = sums.get(k, 0.0) + v
                 n += 1
+                if n % 16 == 0:
+                    # bound the async-dispatch queue: with a fast host
+                    # pipeline the loop otherwise enqueues the WHOLE
+                    # epoch's batches (host staging for 1875 steps of
+                    # graph-sized batches OOM-killed a 125 GB host);
+                    # syncing on the running metric caps the lead at 16
+                    # steps while keeping host/device overlap
+                    jax.block_until_ready(sums["loss"])
             return {k: float(v) / max(n, 1) for k, v in sums.items()}
 
         tm = run(train_data, train_step, True)
