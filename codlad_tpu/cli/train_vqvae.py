@@ -250,11 +250,14 @@ def main(argv=None):
 
         def device_batches(data):
             # host pipeline as a generator so `prefetch` overlaps it with
-            # the device step
+            # the device step; edge indices travel as uint16 (HALF the
+            # per-batch bytes through the remote-TPU tunnel — the jitted
+            # step upcasts at trace time, see data.batch.compress_indices)
+            from codlad_tpu.data.batch import compress_indices
             for hb in data:
+                hb = compress_indices({k: np.asarray(v) for k, v in hb.items()})
                 if mesh is not None:
-                    yield mesh_mod.shard_batch(
-                        {k: np.asarray(v) for k, v in hb.items()}, mesh)
+                    yield mesh_mod.shard_batch(hb, mesh)
                 else:
                     yield {k: jnp.asarray(v) for k, v in hb.items()}
 

@@ -57,6 +57,8 @@ def make_vqvae_step(vae: VAE, *, vq_decay=0.99, commitment_weight=0.25,
     mode = vae.mode
 
     def forward(params, vq_state, batch, rng, weights, train):
+        from codlad_tpu.data.batch import decompress_indices
+        batch = decompress_indices(batch)
         w = weights
         h, (mu, sigma) = vae.apply(params, batch, method=VAE.encode)
         mask = batch["res_mask"]
@@ -120,6 +122,8 @@ def make_genzprot_step(model: GenZProt, *, beta=0.05, max_kl_free=0.01,
     (reference train_module.py:222-225)."""
 
     def forward(params, batch, rng, weights, train):
+        from codlad_tpu.data.batch import decompress_indices
+        batch = decompress_indices(batch)
         mu, sigma, pmu, psigma, ic_recon = model.apply(
             params, batch, rng=rng if train else None)
         recon, metrics = vqvae_loss_terms(batch, ic_recon, weights)
