@@ -29,7 +29,7 @@ def _savez_fast(path, **arrays):
     alignment of a 32k-frame corpus a ~50-minute zlib run."""
     import zipfile
 
-    tmp = path + ".tmp"
+    tmp = os.fspath(path) + ".tmp"
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED, compresslevel=1) as zf:
         for k, v in arrays.items():
             with zf.open(f"{k}.npy", "w", force_zip64=True) as f:
