@@ -338,10 +338,22 @@ def main(argv=None):
         from codlad_tpu.gen.timestep_sampler import LossSecondMomentResampler
         resampler = LossSecondMomentResampler(args.diffusion_steps)
 
-    if args.resume and ckpt.exists("last"):
-        state = ckpt.restore(state, "last")
-        logger.info(f"resumed at step {int(state.step)}")
-    elif args.model_ckpt:
+    resume_from = None
+    if args.resume:
+        # prefer last, else the newest step_N snapshot, else best — never
+        # silently start fresh (an unfinalized `last` from a mid-save kill
+        # must not erase a long run's progress)
+        resume_from = ckpt.best_resume_name("step")
+        if resume_from is None:
+            logger.warning("--resume given but no finalized checkpoint "
+                           f"found under {args.exp}; starting fresh")
+        else:
+            if resume_from != "last":
+                logger.warning(f"'last' checkpoint unusable; resuming from "
+                               f"'{resume_from}' instead")
+            state = ckpt.restore(state, resume_from)
+            logger.info(f"resumed at step {int(state.step)}")
+    if resume_from is None and args.model_ckpt:
         warm = CheckpointManager(args.model_ckpt)
         name = "best" if warm.exists("best") else "last"
         loaded = warm.restore(state, name, load_opt=False)

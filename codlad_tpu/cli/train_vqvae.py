@@ -213,14 +213,29 @@ def main(argv=None):
     state = create_train_state(params, tx, vq_state=vq_state)
 
     start_epoch = 0
-    if args.resume and ckpt.exists("last"):
-        state = ckpt.restore(state, "last")
-        logger.info(f"resumed from step {int(state.step)}")
+    if args.resume:
+        # prefer last, else the newest epoch_N snapshot, else best — and
+        # NEVER silently start fresh: a corrupted/unfinalized `last` once
+        # cost a run 4 epochs of progress before this fallback existed
+        resume_from = ckpt.best_resume_name("epoch")
+        if resume_from is None:
+            logger.warning("-resume given but no finalized checkpoint "
+                           f"found under {args.logdir}; starting fresh")
+        else:
+            if resume_from != "last":
+                logger.warning(f"'last' checkpoint unusable; resuming from "
+                               f"'{resume_from}' instead")
+            state = ckpt.restore(state, resume_from)
+            logger.info(f"resumed from step {int(state.step)}")
         # continue the EPOCH schedule too (dynamic loss weights and the
         # save cadence are epoch-keyed): pick up after the last epoch the
-        # run log recorded
+        # run log recorded — unless we fell back to an epoch_N snapshot,
+        # which pins the schedule to N+1 regardless of what the log saw
         log_csv = os.path.join(args.logdir, "train_log.csv")
-        if os.path.exists(log_csv):
+        if resume_from is not None and resume_from.startswith("epoch_"):
+            start_epoch = int(resume_from.split("_")[1]) + 1
+            logger.info(f"resuming at epoch {start_epoch}")
+        elif resume_from is not None and os.path.exists(log_csv):
             import csv as _csv
 
             with open(log_csv) as f:

@@ -52,27 +52,53 @@ class CheckpointManager:
     def save(self, state, name):
         """name: 'last', 'best', or f'step_{n}'.
 
+        Crash-safe: the new checkpoint is written to `<name>.new` and only
+        swapped into `<name>` once BOTH trees are finalized, so a kill at
+        any instant leaves either the old or the new checkpoint recoverable
+        (_resolve). Saving with force=True straight onto `<name>` deletes
+        the previous checkpoint before the replacement lands — a mid-save
+        SIGKILL once destroyed `last` entirely and a `-resume` run silently
+        started from scratch.
+
         Multi-host: EVERY process must call this (orbax synchronizes
         internally and only the primary host writes — gating the call on
         the main process would deadlock the primary at orbax's barrier).
         The directory must be shared/consistent across hosts, and save
         decisions must be based on replicated values so all hosts call in
         lockstep (cli/train_latent.py does both)."""
+        import shutil
+
         to_np = lambda t: jax.tree.map(np.asarray, t)
-        self._ckpt.save(self._path(name, "main"), to_np(self._main_tree(state)),
-                        force=True)
+        new = self._path(name + ".new")
+        if jax.process_index() == 0 and os.path.isdir(new):
+            shutil.rmtree(new)
+        self._ckpt.save(os.path.join(new, "main"),
+                        to_np(self._main_tree(state)), force=True)
         if jax.tree.leaves(state.opt_state):  # identity optimizers are empty
-            self._ckpt.save(self._path(name, "opt"), to_np(state.opt_state),
+            self._ckpt.save(os.path.join(new, "opt"), to_np(state.opt_state),
                             force=True)
         self._ckpt.wait_until_finished()
+        if jax.process_index() == 0:
+            cur, old = self._path(name), self._path(name + ".old")
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            if os.path.isdir(cur):
+                os.rename(cur, old)
+            os.rename(new, cur)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
 
     def restore(self, template, name, load_opt=None):
         """Restore into the structure of `template` (a TrainState).
 
         load_opt: None = try and fall back; True/False force.
         """
+        base = self._resolve(name)
+        if base is None:
+            raise FileNotFoundError(
+                f"no finalized checkpoint '{name}' under {self.directory}")
         to_np = lambda t: jax.tree.map(np.asarray, t)
-        main = self._ckpt.restore(self._path(name, "main"),
+        main = self._ckpt.restore(os.path.join(base, "main"),
                                   target=to_np(self._main_tree(template)))
         state = template.replace(
             step=main["step"], params=main["params"],
@@ -80,7 +106,7 @@ class CheckpointManager:
             vq_state=main.get("vq_state", template.vq_state))
         if load_opt is not False:
             try:
-                opt = self._ckpt.restore(self._path(name, "opt"),
+                opt = self._ckpt.restore(os.path.join(base, "opt"),
                                          target=to_np(template.opt_state))
                 state = state.replace(opt_state=opt)
             except Exception:
@@ -88,12 +114,41 @@ class CheckpointManager:
                     raise
         return state
 
+    def _resolve(self, name):
+        """Directory holding a finalized `name`, preferring the live copy
+        but recovering from a save/swap interrupted at any point: `.new`
+        (finalized but not yet swapped in) or `.old` (swap started, crash
+        before the new copy was moved into place)."""
+        for cand in (self._path(name), self._path(name + ".new"),
+                     self._path(name + ".old")):
+            if os.path.isdir(os.path.join(cand, "main")):
+                return cand
+        return None
+
     def exists(self, name):
-        return os.path.isdir(self._path(name, "main"))
+        return self._resolve(name) is not None
 
     def available_steps(self):
-        out = []
+        return self.available_snapshots("step")
+
+    def available_snapshots(self, prefix):
+        """Sorted N for finalized '<prefix>_N' checkpoints (recovered
+        `.new`/`.old` copies included)."""
+        out = set()
         for d in os.listdir(self.directory):
-            if d.startswith("step_") and os.path.isdir(self._path(d, "main")):
-                out.append(int(d.split("_")[1]))
+            if not d.startswith(prefix + "_"):
+                continue
+            n = d.split("_", 1)[1].split(".", 1)[0]
+            if n.isdigit() and self.exists(f"{prefix}_{n}"):
+                out.add(int(n))
         return sorted(out)
+
+    def best_resume_name(self, snapshot_prefix):
+        """Checkpoint name a `-resume` run should restore: 'last' if usable,
+        else the newest '<snapshot_prefix>_N', else 'best', else None.
+        Exists so a corrupted/unfinalized `last` degrades a resume by one
+        save interval instead of silently restarting the run from scratch."""
+        names = ["last"] + [f"{snapshot_prefix}_{n}" for n in
+                            reversed(self.available_snapshots(snapshot_prefix))
+                            ] + ["best"]
+        return next((n for n in names if self.exists(n)), None)

@@ -549,3 +549,59 @@ def test_vqvae_dp_matches_single_device():
     flat8 = jax.tree.leaves(jax.tree.map(np.asarray, s8.params))
     for a, b in zip(flat1, flat8):
         np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+def test_checkpoint_crash_safe_save_and_resume_fallback(tmp_path):
+    """A kill at ANY point of a save must leave a restorable checkpoint:
+    save() stages to `<name>.new` and swaps only after finalization, and
+    exists()/restore() recover the `.new`/`.old` side of an interrupted
+    swap. best_resume_name prefers last > newest snapshot > best so a
+    destroyed `last` degrades a -resume by one save interval instead of
+    silently restarting from scratch (which once cost a live run 4 epochs)."""
+    import os
+    import shutil
+
+    from codlad_tpu.train.checkpoints import CheckpointManager
+
+    def mk_state(x):
+        return create_train_state({"w": jnp.full((3,), float(x))},
+                                  optax.adam(1e-3))
+
+    ckpt = CheckpointManager(tmp_path)
+    ckpt.save(mk_state(1.0), "last")
+    ckpt.save(mk_state(2.0), "last")  # overwrite goes through the swap dance
+    assert not os.path.isdir(tmp_path / "last.new")
+    assert not os.path.isdir(tmp_path / "last.old")
+    got = ckpt.restore(mk_state(0.0), "last")
+    np.testing.assert_allclose(np.asarray(got.params["w"]), 2.0)
+
+    # crash between finalizing `.new` and the swap: only `.new` has data
+    shutil.move(tmp_path / "last", tmp_path / "last.new")
+    assert ckpt.exists("last")
+    got = ckpt.restore(mk_state(0.0), "last")
+    np.testing.assert_allclose(np.asarray(got.params["w"]), 2.0)
+
+    # crash mid-swap: `last` moved aside to `.old`, `.new` never moved in
+    shutil.move(tmp_path / "last.new", tmp_path / "last.old")
+    assert ckpt.exists("last")
+    got = ckpt.restore(mk_state(0.0), "last")
+    np.testing.assert_allclose(np.asarray(got.params["w"]), 2.0)
+
+    # a later save cleans up the leftovers and lands normally
+    ckpt.save(mk_state(3.0), "last")
+    assert not os.path.isdir(tmp_path / "last.old")
+    got = ckpt.restore(mk_state(0.0), "last")
+    np.testing.assert_allclose(np.asarray(got.params["w"]), 3.0)
+
+    # resume preference: last > newest epoch_N > best
+    ckpt.save(mk_state(4.0), "epoch_5")
+    ckpt.save(mk_state(5.0), "epoch_10")
+    ckpt.save(mk_state(6.0), "best")
+    assert ckpt.best_resume_name("epoch") == "last"
+    shutil.rmtree(tmp_path / "last")
+    assert ckpt.best_resume_name("epoch") == "epoch_10"
+    shutil.rmtree(tmp_path / "epoch_10")
+    shutil.rmtree(tmp_path / "epoch_5")
+    assert ckpt.best_resume_name("epoch") == "best"
+    shutil.rmtree(tmp_path / "best")
+    assert ckpt.best_resume_name("epoch") is None
