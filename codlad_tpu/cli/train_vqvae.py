@@ -259,6 +259,15 @@ def main(argv=None):
     val_history, best_val = [], np.inf
     current_lr = args.lr
 
+    # validation always scores the FULL static objective: the dynamic
+    # schedule disables xyz+clash at epoch 0 (and doubles clash past 20),
+    # so epoch-keyed val losses are incomparable across epochs — epoch 0's
+    # artificially easy number once pinned best-model selection and ran
+    # the early-stop clock on an unbeatable target (reference
+    # train_module.py:197-202 applies the schedule to BOTH splits; its
+    # 600-epoch/patience-20 regime hides the artifact, short runs don't)
+    w_val = weights_to_array(base_w)
+
     for epoch in range(start_epoch, args.nepochs):
         w = weights_to_array(base_w.dynamic(epoch, args.dynamic_loss))
         timer = Timer()
@@ -289,7 +298,7 @@ def main(argv=None):
                 if train:
                     state, metrics = step_fn(state, b, key, w)
                 else:
-                    metrics = step_fn(state, b, key, w)
+                    metrics = step_fn(state, b, key, w_val)
                 for k, v in metrics.items():
                     sums[k] = sums.get(k, 0.0) + v
                 n += 1
