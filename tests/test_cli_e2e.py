@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full preprocess->train->extract->test CLI drives
+
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):

@@ -161,6 +161,7 @@ def test_distill_target_inverts_student_step():
                                atol=1e-4)
 
 
+@pytest.mark.slow  # trains a small net through several distillation stages
 def test_progressive_distillation_learns_two_steps_in_one():
     """A per-timestep linear student (eps = c_t x + d_t) trained with
     distill_loss_terms learns to reproduce two analytic-teacher DDIM steps

@@ -2,6 +2,7 @@
 __graft_entry__ API. These construct everything on CPU without timing."""
 
 import json
+import pytest
 import subprocess
 import sys
 
@@ -22,6 +23,7 @@ def test_bench_constants_and_schema():
     assert bench.BASELINE_STEPS_PER_SEC > 0
 
 
+@pytest.mark.slow  # dryrun_multichip: 6 sharded-config train steps on an 8-device CPU mesh
 def test_graft_entry_contract():
     """entry() -> (callable, example_args) jittable on the test backend;
     dryrun_multichip runs a sharded step on all local devices."""

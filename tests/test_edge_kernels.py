@@ -3,10 +3,13 @@ interpret-mode equality with the pure-JAX twins, incl. gradients and the
 mutual-transpose VJP identity."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from codlad_tpu.kernels import edge_kernels as EK
+
+pytestmark = pytest.mark.slow  # Pallas interpret-mode edge-kernel sweeps
 
 
 def _data(seed=0, B=2, E=1100, N=40, F=7):

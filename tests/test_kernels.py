@@ -17,6 +17,8 @@ from jax.experimental import pallas as pl
 
 from codlad_tpu.kernels import mpnn_kernels as MK
 
+pytestmark = pytest.mark.slow  # Pallas interpret-mode sweeps + 8-device mesh partitioning
+
 
 def _inputs(B=2, L=16, K=8, H=128, seed=0, dtype=jnp.float32):
     rng = np.random.default_rng(seed)

@@ -10,6 +10,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # two-process subprocess DP runs
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -18,6 +18,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # two-process trainer CLI subprocess run
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

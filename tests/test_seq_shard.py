@@ -14,6 +14,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from codlad_tpu.models.denoiser import mpnn_diffusion
 from codlad_tpu.parallel.sequence import ring_knn
 
+pytestmark = pytest.mark.slow  # 8-device-mesh sharded train/eval steps
+
 N_SHARDS = 4
 B, L, K, H = 2, 32, 8, 32
 
