@@ -105,6 +105,14 @@ def build_parser():
                    choices=["uniform", "loss_second_moment"],
                    help="diffusion timestep schedule sampler (the reference "
                         "ships LossSecondMomentResampler unwired; here it works)")
+    p.add_argument("--max_host_gb", type=float, default=100.0,
+                   help="host-RSS watermark: the remote-TPU tunnel client "
+                        "pins every host->device transfer for process "
+                        "lifetime, so long runs leak ~the bytes they ship "
+                        "and OOM the host. When RSS exceeds this at a "
+                        "save_step boundary, save + exit code 75 so a "
+                        "supervisor loop can re-invoke with --resume "
+                        "(0 disables)")
     return p
 
 
@@ -438,6 +446,18 @@ def main(argv=None):
                 # all hosts so the calls stay in lockstep
                 ckpt.save(state, f"step_{train_steps}")
                 ckpt.save(state, "last")
+                from codlad_tpu.cli.train_vqvae import host_rss_gb
+                rss = host_rss_gb()
+                if args.max_host_gb and rss > args.max_host_gb:
+                    # RSS is per-host but every host leaks at the same rate
+                    # (identical transfer volume), so the exits stay in
+                    # lockstep like the saves
+                    logger.info(
+                        f"host RSS {rss:.1f} GB > watermark "
+                        f"{args.max_host_gb:.1f} GB — checkpoints saved, "
+                        "exiting 75 for supervised restart (tunnel-client "
+                        "transfer leak)")
+                    raise SystemExit(75)
             if args.max_steps and train_steps >= args.max_steps:
                 stop = True
                 break

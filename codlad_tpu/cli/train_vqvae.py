@@ -104,7 +104,22 @@ def build_parser():
                         "bucket so batches mix proteins (the reference "
                         "MultiPKLDataset pool semantics, "
                         "dataset_module.py:26-117)")
+    p.add_argument("-max_host_gb", type=float, default=100.0,
+                   help="host-RSS watermark: the remote-TPU tunnel client "
+                        "pins every host->device transfer for process "
+                        "lifetime, so long runs leak ~the bytes they ship "
+                        "and OOM the host. When end-of-epoch RSS exceeds "
+                        "this, save last + exit code 75 so a supervisor "
+                        "loop can re-invoke with -resume (0 disables)")
     return p
+
+
+def host_rss_gb():
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1e6
+    return 0.0
 
 
 def main(argv=None):
@@ -356,6 +371,13 @@ def main(argv=None):
         if stopper(smoothed):
             logger.info("early stopping")
             break
+        rss = host_rss_gb()
+        if args.max_host_gb and rss > args.max_host_gb:
+            logger.info(f"host RSS {rss:.1f} GB > watermark "
+                        f"{args.max_host_gb:.1f} GB — checkpoints saved, "
+                        "exiting 75 for supervised restart (tunnel-client "
+                        "transfer leak; see scripts/run_stage1_convergence.sh)")
+            raise SystemExit(75)
 
     logger.info("training done")
     return state
