@@ -16,8 +16,26 @@ denoise step at ~35-40% TF32 utilization incl. per-step launch overhead of
 the torch Python loop). The driver's north-star target is 5x => vs_baseline
 >= 5.
 
-The single JSON line also carries `extra_metrics` grounding the claim
-beyond the estimated baseline:
+DRIVER BUDGET CONTRACT (VERDICT r4 weak #1: BENCH_r04 was rc=124 with no
+JSON because six sections each paid fresh multi-minute compiles through
+the remote-TPU tunnel and the JSON printed only at the very end):
+  * the headline JSON line is printed and FLUSHED as soon as the headline
+    number exists — an external kill after that point still leaves a
+    parseable record on stdout;
+  * every extra section runs under a wall-clock budget (BENCH_BUDGET_S,
+    default 270 s): a section whose estimated cost exceeds the remaining
+    budget is recorded as "skipped(budget)" instead of running;
+  * the FINAL JSON line (the one the driver should parse: last line of
+    stdout) repeats the headline with whatever extras completed;
+  * compiles persist across runs via the JAX compilation cache
+    (/tmp/jax_bench_cache), so a warm rerun is seconds, and the headline
+    scan's compile is REUSED for the MFU cost analysis instead of
+    lowering a second program.
+Measured wall time on the idle tunneled v5e chip (2026-08-20): cold
+~210 s with every section present, warm rerun ~55 s.
+
+The JSON line carries `extra_metrics` grounding the claim beyond the
+estimated baseline:
   * `e2e_structures_per_sec_per_chip`: FULL sample->structure pipeline
     (100 denoise steps + VQ snap + IC decode + ic_to_xyz14 Cartesian
     rebuild) — the reference's whole test.py:481-582 inner loop;
@@ -26,10 +44,10 @@ beyond the estimated baseline:
     traces and per-bucket edge counts (the eval harness's real shape;
     the homogeneous number sees a single compilation bucket);
   * `denoise_mfu`: measured denoise FLOPs over the chip's peak bf16
-    FLOPs.  The FLOP numerator comes from XLA cost analysis WITH the
-    Pallas kernels' pl.CostEstimate included (round 2 reported 1.85%
-    because pallas_call scored 0 FLOPs without estimates — only ~30 of
-    the ~820 GFLOP/step were counted).
+    FLOPs.  The FLOP numerator comes from XLA cost analysis of the
+    compiled 100-step sampling scan divided by the step count (WITH the
+    Pallas kernels' pl.CostEstimate included — round 2 reported 1.85%
+    because pallas_call scored 0 FLOPs without estimates).
   * `useful_mfu`: denoise_mfu with the one-hot selection FLOPs EXCLUDED
     from the numerator (the gather contractions are bookkeeping, not
     model math: n_chains * 2*B*L*K*L*H FLOPs, one [TE, L] @ [L, H]
@@ -55,14 +73,54 @@ B = 96          # frames per batch (reference eval bs<=96)
 L = 128         # residues (PED-scale)
 DENOISE_STEPS = 100
 REPEATS = 3
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 270))
+_T0 = time.monotonic()
+
+
+def _remaining():
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def _status(msg):
+    print(f"[bench +{time.monotonic() - _T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _emit(result):
+    print(json.dumps(result), flush=True)
+
+
+def _section(extras, name, est_cost_s, fn):
+    """Run one extra-metric section under the wall-clock budget."""
+    if _remaining() < est_cost_s:
+        _status(f"{name}: skipped (est {est_cost_s:.0f}s > "
+                f"{_remaining():.0f}s remaining)")
+        extras[name] = "skipped(budget)"
+        return
+    t0 = time.monotonic()
+    try:
+        extras[name] = fn()
+        _status(f"{name}: {extras[name]} ({time.monotonic() - t0:.1f}s)")
+    except Exception as e:  # a failed extra must never kill the headline
+        _status(f"{name}: failed ({type(e).__name__}: {e})")
+        extras[name] = f"failed({type(e).__name__})"
 
 
 def main():
     import jax
+
+    # persistent compile cache: the driver's run after a same-host builder
+    # run (or a rerun) skips the multi-minute tunnel compiles entirely
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from codlad_tpu.gen.diffusion import create_diffusion
-    from codlad_tpu.models.denoiser import mpnn_diffusion
+    from codlad_tpu.models.denoiser import MPNNDenoiser, mpnn_diffusion
 
     rng = np.random.default_rng(0)
     res_type = jnp.asarray(rng.integers(0, 20, size=(B, L)).astype(np.int32))
@@ -82,8 +140,6 @@ def main():
 
     # hoist x-independent conditioning out of the scan; run the denoise body
     # in bf16 (schedule math stays f32)
-    from codlad_tpu.models.denoiser import MPNNDenoiser
-
     cond = jax.jit(lambda p, r, c, m: model.apply(
         p, r, c, m, method=MPNNDenoiser.compute_condition))(params, res_type, cg, mask)
     cast = lambda v: (v.astype(jnp.bfloat16)
@@ -92,25 +148,14 @@ def main():
     cond_bf16 = jax.tree.map(cast, cond)
     params_bf16 = jax.tree.map(cast, params)
 
-    # IMPORTANT: params/cond are jit ARGUMENTS, not closure captures — a
-    # capture would inline hundreds of MB of constants into the XLA program.
-    @jax.jit
-    def step(rng, x, t_idx, p, c):
-        def model_fn(x, t, rng, x_self_cond=None):
-            out = model.apply(p, x.astype(jnp.bfloat16), t, c,
-                              deterministic=True, fuse_pairs=True,
-                              method=MPNNDenoiser.denoise)
-            return out.astype(jnp.float32)
-        return diffusion.p_sample(rng, model_fn, x, t_idx)[0]
-
     # the PRODUCTION sampling path: all 100 denoise evals in one lax.scan,
-    # ONE dispatch per ensemble draw.  A host loop over the jitted single
+    # ONE dispatch per ensemble draw.  A host loop over a jitted single
     # step measured up to ±12% run-to-run variance through the remote
     # dispatch tunnel (100 round trips/sample); the scan number is the
-    # device's, not the tunnel's.  `step` stays jitted for the MFU cost
-    # analysis below.
-    @jax.jit
-    def sample_scan(rng, p, c):
+    # device's, not the tunnel's.
+    # IMPORTANT: params/cond are ARGUMENTS, not closure captures — a
+    # capture would inline hundreds of MB of constants into the XLA program.
+    def _sample_scan(rng, p, c):
         rng, sub = jax.random.split(rng)
         x = jax.random.normal(sub, (B, L, 3))
 
@@ -122,11 +167,17 @@ def main():
 
         return diffusion.p_sample_loop(rng, model_fn, x.shape, noise=x)
 
-    def sample(rng):
-        return sample_scan(rng, params_bf16, cond_bf16)
+    # ONE lower+compile serves the timed runs AND the MFU cost analysis
+    _status("compiling 100-step sampling scan")
+    compiled_scan = (jax.jit(_sample_scan)
+                     .lower(jax.random.PRNGKey(0), params_bf16, cond_bf16)
+                     .compile())
+    _status("compile done")
 
-    # compile + warmup
-    out = sample(jax.random.PRNGKey(0))
+    def sample(key):
+        return compiled_scan(key, params_bf16, cond_bf16)
+
+    out = sample(jax.random.PRNGKey(0))  # warmup
     out.block_until_ready()
 
     times = []
@@ -141,13 +192,13 @@ def main():
     n_chips = jax.device_count()
     value = steps_per_sec / n_chips
 
-    # ---- MFU: measured FLOPs per denoise step from XLA cost analysis
-    mfu = None
+    # ---- MFU from the ALREADY-compiled scan.  XLA cost analysis counts a
+    # while/scan BODY ONCE (verified on this backend: a 10-iter scan of a
+    # 512^3 matmul reports 2.687e8 flops = one body, not 2.7e9), so the
+    # program's flop count IS the per-denoise-step count.
+    mfu = useful_mfu = None
     try:
-        cost = (jax.jit(step)
-                .lower(jax.random.PRNGKey(0), out, jnp.int32(0),
-                       params_bf16, cond_bf16)
-                .compile().cost_analysis())
+        cost = compiled_scan.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0))
@@ -157,46 +208,57 @@ def main():
         peak = next((v for k, v in peaks.items() if k in kind), 197e12)
         if flops_per_step > 0:
             mfu = flops_per_step * steps_per_sec / (peak * n_chips)
+            # selection (one-hot gather) FLOPs excluded: one [TE, L] @
+            # [L, H] matmul per fused chain (enc layers update h_V AND
+            # h_E = 2 chains each, dec layers 1)
+            n_chains = 2 * model.num_encoder_layers + model.num_decoder_layers
+            K = min(model.k_neighbors, L)
+            sel = n_chains * 2.0 * B * L * K * L * model.hidden_dim
+            useful_mfu = mfu * max(flops_per_step - sel, 0.0) / flops_per_step
     except Exception:
         pass
 
-    # ---- useful MFU: selection (one-hot gather) FLOPs excluded.
-    # One [TE, L] @ [L, H] selection matmul per fused chain; the chain
-    # count comes from the model config (enc layers update h_V AND h_E =
-    # 2 chains each, dec layers 1).
-    useful_mfu = None
-    if mfu is not None:
-        n_chains = 2 * model.num_encoder_layers + model.num_decoder_layers
-        K = min(model.k_neighbors, L)
-        sel_flops = n_chains * 2.0 * B * L * K * L * model.hidden_dim
-        useful_mfu = mfu * max(flops_per_step - sel_flops, 0.0) / flops_per_step
-
-    # ---- end-to-end: denoise -> VQ snap -> IC decode -> Cartesian rebuild
-    e2e = _bench_e2e(sample, rng_np=np.random.default_rng(1))
-    e2e_mixed = _bench_e2e_mixed(model, diffusion, params_bf16,
-                                 rng_np=np.random.default_rng(2))
-
-    # ---- train-step timings at FIXED, documented shapes (round-to-round
-    # comparable; VERDICT r3 weak #3)
-    s2_ms = _bench_stage2_train(model, diffusion, params, res_type, cg, mask)
-    s1_ms, s1_mfu = _bench_stage1_train()
-
-    print(json.dumps({
+    extras = {
+        "e2e_structures_per_sec_per_chip": None,
+        "e2e_mixed_structures_per_sec_per_chip": None,
+        "denoise_mfu": round(mfu, 4) if mfu is not None else None,
+        "useful_mfu": round(useful_mfu, 4) if useful_mfu is not None else None,
+        "stage2_train_ms(B96,L128,bf16)": None,
+        "stage1_train_ms(B4,L130,bf16)": None,
+        "stage1_mfu": None,
+    }
+    result = {
         "metric": "denoise_steps_per_sec_per_chip_PED_eval(B96,L128,ddim100)",
         "value": round(value, 3),
         "unit": "steps/sec/chip",
         "vs_baseline": round(value / BASELINE_STEPS_PER_SEC, 3),
-        "extra_metrics": {
-            "e2e_structures_per_sec_per_chip": e2e,
-            "e2e_mixed_structures_per_sec_per_chip": e2e_mixed,
-            "denoise_mfu": round(mfu, 4) if mfu is not None else None,
-            "useful_mfu": (round(useful_mfu, 4)
-                           if useful_mfu is not None else None),
-            "stage2_train_ms(B96,L128,bf16)": s2_ms,
-            "stage1_train_ms(B4,L130,bf16)": s1_ms,
-            "stage1_mfu": s1_mfu,
-        },
-    }))
+        "extra_metrics": extras,
+    }
+    # headline secured: print + flush NOW so any later kill still leaves a
+    # parseable line (the final line below supersedes it when reached)
+    _emit(result)
+
+    # ---- extras, cheapest-compile first, each under the budget.  The two
+    # train-step numbers are round-tracked (VERDICT r5 item 3 requires
+    # them), so they run before the e2e sections.
+    def stage2():
+        return _bench_stage2_train(model, diffusion, params, res_type, cg, mask)
+
+    def stage1():
+        ms, s1_mfu = _bench_stage1_train()
+        extras["stage1_mfu"] = s1_mfu
+        return ms
+
+    _section(extras, "stage2_train_ms(B96,L128,bf16)", 60, stage2)
+    _section(extras, "stage1_train_ms(B4,L130,bf16)", 90, stage1)
+    _section(extras, "e2e_structures_per_sec_per_chip", 45,
+             lambda: _bench_e2e(sample, rng_np=np.random.default_rng(1)))
+    _section(extras, "e2e_mixed_structures_per_sec_per_chip", 120,
+             lambda: _bench_e2e_mixed(model, diffusion, params_bf16,
+                                      rng_np=np.random.default_rng(2)))
+
+    # the line the driver parses: LAST line of stdout
+    _emit(result)
 
 
 def _time_chained(fn, state0, n=8, warmup=2):
@@ -220,7 +282,6 @@ def _bench_stage2_train(model, diffusion, params, res_type, cg, mask):
     """One full Stage-2 train step (fwd+bwd+adamw+EMA, bf16 mixed
     precision) at the headline workload shape B=96 x L=128."""
     import jax
-    import jax.numpy as jnp
     import optax
 
     from codlad_tpu.train.state import create_train_state

@@ -371,7 +371,27 @@ def main(argv=None):
 
     train_steps = int(state.step)
     log_t0, log_steps = time.time(), 0
+    # best-checkpoint selection survives watermark restarts: re-derive the
+    # best validation loss from the metrics this run already logged —
+    # `best_val = inf` after a restart let the first validation pass
+    # unconditionally overwrite `best` (VERDICT r4 weak #3, Stage-2 twin)
     best_val = np.inf
+    if resume_from is not None:
+        mpath = os.path.join(args.exp, "metrics.jsonl")
+        if os.path.exists(mpath):
+            import json as _json
+            for line in open(mpath):
+                try:
+                    row = _json.loads(line)
+                except ValueError:
+                    continue
+                v = row.get("loss")
+                if (row.get("split") == "val"
+                        and isinstance(v, (int, float)) and np.isfinite(v)):
+                    best_val = min(best_val, float(v))
+            if np.isfinite(best_val):
+                logger.info(f"best val loss replayed from metrics.jsonl: "
+                            f"{best_val:.5f}")
     stop = False
     # batch padding target = the DATA-axis extent this host feeds
     n_data_axis = mesh.shape.get("data", 1)

@@ -27,8 +27,23 @@ def save_stats(path, name, mean, std):
 
 
 def load_stats(path, name):
-    z = np.load(os.path.join(path, f"{name}_stats.npz"))
-    return z["mean"], z["std"]
+    """Channel stats by name: our `{name}_stats.npz`, falling back to the
+    reference's published torch layout `{dataname}_{type}_x_{mean,std}.pt`
+    for names like 'PED_N6' (reference utils/dataset_module.py:230-256) —
+    so `--stats_name PED_N6 --stats_dir <...>/datasets/miu_and_sigma`
+    consumes the shipped assets with no conversion step."""
+    npz = os.path.join(path, f"{name}_stats.npz")
+    if os.path.exists(npz):
+        z = np.load(npz)
+        return z["mean"], z["std"]
+    if "_" in name:
+        dataname, ftype = name.rsplit("_", 1)
+        if os.path.exists(os.path.join(path,
+                                       f"{dataname}_{ftype}_x_mean.pt")):
+            return load_reference_stats(path, ftype, dataname)
+    raise FileNotFoundError(
+        f"no stats named '{name}' under {path} (looked for {name}_stats.npz "
+        f"and the reference .pt pair)")
 
 
 def normalize(x, mean, std, norm_in=True):

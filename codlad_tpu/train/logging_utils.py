@@ -126,6 +126,69 @@ class PlateauLR:
         return self.lr
 
 
+def read_epoch_rows(csv_path):
+    """Rows of a train_log.csv deduped by epoch (LAST occurrence wins) and
+    sorted.  Watermark restarts (exit 75 + resume) used to re-append rows
+    for epochs they re-ran, leaving duplicate epoch 0..N prefixes in the
+    log — and resume reads this file to pick start_epoch, so poisoned rows
+    were a latent resume hazard (VERDICT r4 weak #6)."""
+    if not os.path.exists(csv_path):
+        return []
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    by_epoch = {}
+    for r in rows:
+        try:
+            by_epoch[int(float(r["epoch"]))] = r
+        except (KeyError, TypeError, ValueError):
+            continue
+    return [by_epoch[e] for e in sorted(by_epoch)]
+
+
+def rewrite_epoch_rows(csv_path, rows, fieldnames):
+    """Atomically rewrite train_log.csv with deduped rows."""
+    tmp = csv_path + ".tmp"
+    with open(tmp, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames)
+        w.writeheader()
+        for r in rows:
+            w.writerow({k: r.get(k, "") for k in fieldnames})
+    os.replace(tmp, csv_path)
+
+
+def replay_selection(val_losses, plateau=None, stopper=None):
+    """Re-derive best-model / plateau-LR / early-stop state from the
+    validation-loss history a restarted run left on disk.
+
+    The watermark-restart supervisor (exit 75 + resume) used to reset
+    `best_val`, the LOWESS history, EarlyStopping patience and PlateauLR
+    state to fresh values on every restart, so the first post-restart epoch
+    unconditionally overwrote `best` and patience/LR never accumulated
+    (VERDICT r4 weak #3).  Feeding the on-disk history back through the
+    exact selection logic the live loop runs makes a restart
+    state-equivalent to never having stopped.
+
+    Mutates `plateau`/`stopper` in place (same objects the loop will keep
+    stepping).  Returns (val_history, best_val, best_epoch) where
+    best_epoch indexes into val_losses (-1 if empty).
+    """
+    val_history, best_val, best_epoch = [], np.inf, -1
+    for i, v in enumerate(val_losses):
+        v = float(v)
+        if not np.isfinite(v):
+            # the live loop aborts on NaN before selection; skip defensively
+            continue
+        val_history.append(v)
+        smoothed = lowess_smooth(val_history)[-1]
+        if plateau is not None:
+            plateau.step(smoothed)
+        if smoothed < best_val:
+            best_val, best_epoch = smoothed, i
+        if stopper is not None:
+            stopper(smoothed)
+    return val_history, best_val, best_epoch
+
+
 class Timer:
     def __init__(self):
         self.t0 = time.perf_counter()

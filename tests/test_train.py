@@ -605,3 +605,118 @@ def test_checkpoint_crash_safe_save_and_resume_fallback(tmp_path):
     assert ckpt.best_resume_name("epoch") == "best"
     shutil.rmtree(tmp_path / "best")
     assert ckpt.best_resume_name("epoch") is None
+
+
+def test_selection_state_replay_matches_uninterrupted_run():
+    """Watermark restarts must preserve best-model / plateau / early-stop
+    state (VERDICT r4 weak #3): replaying the on-disk val history must
+    leave the selection machinery exactly where an uninterrupted run
+    would be — in particular the first post-restart epoch must NOT be
+    crowned best when an earlier epoch was better."""
+    from codlad_tpu.train.logging_utils import (
+        EarlyStopping, PlateauLR, lowess_smooth, replay_selection)
+
+    # a stalled-run shape like the round-4 study: improve to a floor at
+    # epoch 5, then stall
+    vals = [3.0, 2.4, 1.9, 1.5, 1.25, 1.14, 1.24, 1.46, 1.32, 1.38, 1.40]
+
+    # uninterrupted run: the live-loop logic applied epoch by epoch
+    hist, best, stopper_u, plateau_u = [], np.inf, EarlyStopping(6), \
+        PlateauLR(1e-3, factor=0.3)
+    best_epoch_u = -1
+    for i, v in enumerate(vals):
+        hist.append(v)
+        s = lowess_smooth(hist)[-1]
+        plateau_u.step(s)
+        if s < best:
+            best, best_epoch_u = s, i
+        stopper_u(s)
+
+    # interrupted at every possible epoch boundary: replay prefix, then
+    # continue live — the end state must be identical
+    for cut in range(1, len(vals)):
+        stopper_r, plateau_r = EarlyStopping(6), PlateauLR(1e-3, factor=0.3)
+        hist_r, best_r, bi = replay_selection(vals[:cut], plateau=plateau_r,
+                                              stopper=stopper_r)
+        for i in range(cut, len(vals)):
+            hist_r.append(vals[i])
+            s = lowess_smooth(hist_r)[-1]
+            plateau_r.step(s)
+            if s < best_r:
+                best_r, bi = s, i
+            stopper_r(s)
+        assert best_r == pytest.approx(best)
+        assert bi == best_epoch_u
+        assert stopper_r.counter == stopper_u.counter
+        assert plateau_r.lr == pytest.approx(plateau_u.lr)
+        assert plateau_r.bad == plateau_u.bad
+
+    # the bug scenario directly: restart right after the best epoch —
+    # the next (worse) epoch must not become best
+    stopper_r, plateau_r = EarlyStopping(6), PlateauLR(1e-3)
+    _, best_r, _ = replay_selection(vals[:6], plateau=plateau_r,
+                                    stopper=stopper_r)
+    hist_r = list(vals[:6])
+    hist_r.append(vals[6])
+    s6 = lowess_smooth(hist_r)[-1]
+    assert s6 >= best_r  # epoch 6 (1.24) does not beat the replayed best
+
+
+def test_train_log_dedupe(tmp_path):
+    """read_epoch_rows drops duplicate epoch rows (restart re-appends),
+    keeping the LAST occurrence; rewrite round-trips."""
+    from codlad_tpu.train.logging_utils import (
+        read_epoch_rows, rewrite_epoch_rows)
+
+    p = str(tmp_path / "train_log.csv")
+    with open(p, "w") as f:
+        f.write("epoch,val_loss\n0,3.0\n1,2.0\n0,3.1\n1,2.1\n2,1.5\n")
+    rows = read_epoch_rows(p)
+    assert [int(r["epoch"]) for r in rows] == [0, 1, 2]
+    assert [float(r["val_loss"]) for r in rows] == [3.1, 2.1, 1.5]
+    rewrite_epoch_rows(p, rows, ["epoch", "val_loss"])
+    assert read_epoch_rows(p) == rows
+
+
+@pytest.mark.slow
+def test_vqvae_restart_preserves_selection_state(tmp_path):
+    """Simulated exit-75 restart through the real CLI: train 1 epoch, get
+    watermark-killed, resume for 3 more — the resumed run must replay the
+    logged history (log line present), dedupe the CSV, and leave `best`
+    tracking the global-min smoothed val, not the first post-restart
+    epoch."""
+    import json
+    import os
+
+    from codlad_tpu.cli import preprocess, train_vqvae
+    from codlad_tpu.train.logging_utils import read_epoch_rows
+
+    shards = str(tmp_path / "shards")
+    preprocess.main(["--synthetic", "2", "12", "4", "--out_dir", shards])
+    logdir = str(tmp_path / "vq")
+    common = ["-data_dir", shards, "-logdir", logdir, "-batch_size", "2",
+              "-enc_nconv", "2", "-dec_nconv", "2", "-vqdim", "3",
+              "-codebook_size", "16", "--no-dp"]
+
+    # first leg: the watermark trips after epoch 0 (any RSS > 1e-4 GB)
+    with pytest.raises(SystemExit) as e:
+        train_vqvae.main(common + ["-nepochs", "4", "-max_host_gb", "1e-4"])
+    assert e.value.code == 75
+
+    # second leg: resume, watermark off
+    train_vqvae.main(common + ["-nepochs", "3", "-resume",
+                               "-max_host_gb", "0"])
+
+    rows = read_epoch_rows(os.path.join(logdir, "train_log.csv"))
+    epochs = [int(r["epoch"]) for r in rows]
+    assert epochs == [0, 1, 2]  # deduped, contiguous
+    log_txt = open(os.path.join(logdir, "log.txt")).read()
+    assert "selection state replayed from 1 logged epochs" in log_txt
+    assert os.path.isdir(os.path.join(logdir, "best"))
+    # codebook-health telemetry reaches metrics.jsonl (VERDICT r4 item 7)
+    mlines = [json.loads(l) for l in
+              open(os.path.join(logdir, "metrics.jsonl"))]
+    val_rows = [m for m in mlines if m.get("split") == "val"]
+    assert val_rows and "vq_perplexity" in val_rows[-1]
+    assert 1.0 <= val_rows[-1]["vq_perplexity"] <= 16.0
+    assert 0.0 < val_rows[-1]["vq_usage"] <= 1.0
