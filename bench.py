@@ -161,7 +161,7 @@ def main():
 
         def model_fn(x, t, rng, x_self_cond=None):
             out = model.apply(p, x.astype(jnp.bfloat16), t, c,
-                              deterministic=True, fuse_pairs=True,
+                              deterministic=True, fuse_pairs=False,
                               method=MPNNDenoiser.denoise)
             return out.astype(jnp.float32)
 
@@ -496,7 +496,7 @@ def _bench_e2e_mixed(model, diffusion, params_bf16, rng_np):
 
         def model_fn(x, t, rng, x_self_cond=None):
             out = model.apply(p, x.astype(jnp.bfloat16), t, cond,
-                              deterministic=True, fuse_pairs=True,
+                              deterministic=True, fuse_pairs=False,
                               method=MPNNDenoiser.denoise)
             return out.astype(jnp.float32)
 

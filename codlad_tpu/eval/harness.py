@@ -83,6 +83,10 @@ class SamplingPipeline:
             method=self._denoiser_cls().compute_condition)
         return self._cast(cond)
 
+    # fuse_pairs=False everywhere: the round-4 layer-pair fusion measured
+    # as a 5% REGRESSION on the sampling headline once isolated on an idle
+    # chip (123.5 vs 130.1 steps/s, scripts/bench_fuse_ablation.py,
+    # docs/DESIGN.md §15) — the split kernels are the production path.
     @functools.partial(jax.jit, static_argnums=(0,))
     def _sample_from_cond(self, rng, params, cond, noise):
         def model_fn(x, t, k, x_self_cond=None):
@@ -90,7 +94,7 @@ class SamplingPipeline:
             out = self.denoiser.apply(params, xin, t, cond,
                                       x_self_cond=x_self_cond,
                                       deterministic=True,
-                                      fuse_pairs=self.seq_shards == 0,
+                                      fuse_pairs=False,
                                       method=self._denoiser_cls().denoise)
             return out.astype(jnp.float32)
 
@@ -117,7 +121,7 @@ class SamplingPipeline:
                    else jnp.concatenate([x_self_cond, x_self_cond], 0))
             out = self.denoiser.apply(params, x2, t2, cond2,
                                       x_self_cond=sc2, deterministic=True,
-                                      fuse_pairs=self.seq_shards == 0,
+                                      fuse_pairs=False,
                                       method=self._denoiser_cls().denoise
                                       ).astype(jnp.float32)
             c, u = out[:x.shape[0]], out[x.shape[0]:]

@@ -30,6 +30,7 @@ def batch():
     return {k: jnp.asarray(v) for k, v in B.collate(exs, spec).items()}
 
 
+@pytest.mark.slow
 def test_param_tree_matches_model(imported, batch):
     """Imported tree has exactly the structure GenZProt.init produces."""
     from codlad_tpu.models.vae import GenZProt
@@ -47,6 +48,7 @@ def test_param_tree_matches_model(imported, batch):
         assert tuple(paths_a[k]) == tuple(paths_b[k]), (k, paths_a[k], paths_b[k])
 
 
+@pytest.mark.slow
 def test_imported_model_runs_and_bond_head_is_exact(imported, batch):
     """Forward runs finite, and the constraint-decoupled bond-length heads
     surface the checkpoint's embedding values EXACTLY in the ic output —
@@ -206,6 +208,7 @@ def _synthesize_n6_state_dict(params, vq_arrays, num_conv=4, angle=False):
     return sd
 
 
+@pytest.mark.slow
 def test_convert_vae_roundtrip_n6_layout(batch):
     """convert_vae on a synthesized reference-layout (N6) state dict
     reproduces the originating param tree EXACTLY — the full key mapping,
@@ -250,6 +253,7 @@ def test_convert_vae_roundtrip_n6_layout(batch):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_convert_vae_roundtrip_k3k4_angle_layout(batch, tmp_path):
     """K3/K4 import rehearsal: convert_vae on a synthesized
     IC_Decoder_angle-layout state dict (vae_model.py:318-415;

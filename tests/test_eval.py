@@ -41,6 +41,7 @@ def setup():
     return batch, pipeline
 
 
+@pytest.mark.slow
 def test_sample_and_decode_shapes(setup):
     batch, pipeline = setup
     ic_recon, xyz14 = pipeline.sample_and_decode(jax.random.PRNGKey(0), batch)
@@ -50,6 +51,7 @@ def test_sample_and_decode_shapes(setup):
     assert np.isfinite(np.asarray(xyz14)).all()
 
 
+@pytest.mark.slow
 def test_doubled_batch_halves_match(setup):
     batch, pipeline = setup
     import dataclasses
@@ -59,6 +61,7 @@ def test_doubled_batch_halves_match(setup):
     assert lat1.shape == lat2.shape
 
 
+@pytest.mark.slow
 def test_recon_experiment(setup):
     """encode -> VQ -> decode on ground-truth structures, metrics finite."""
     batch, pipeline = setup
@@ -71,6 +74,7 @@ def test_recon_experiment(setup):
     assert 0.0 <= float(m["clash"]) <= 2.0
 
 
+@pytest.mark.slow
 def test_run_ensemble_div(setup):
     batch, pipeline = setup
     agg = run_ensemble(pipeline, batch, num_ensemble=3, seed=0)
@@ -78,6 +82,7 @@ def test_run_ensemble_div(setup):
     assert agg["rmsd"] > 0
 
 
+@pytest.mark.slow
 def test_run_ensemble_fold_matches_sequential(setup):
     """fold>1 tiles the batch instead of looping members; with a
     deterministic (rng- and noise-independent) sample_fn the folded and
@@ -123,6 +128,7 @@ def test_kabsch_rmsd_invariances():
     np.testing.assert_allclose(np.asarray(r2), np.full(2, 3.0), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_graph_validity_self_is_valid(setup):
     batch, _ = setup
     keep = (~batch["endpoint_mask"])[..., None] & batch["atom_mask"]
@@ -132,6 +138,7 @@ def test_graph_validity_self_is_valid(setup):
     np.testing.assert_allclose(np.asarray(ratio), 0.0)
 
 
+@pytest.mark.slow
 def test_flow_sampling_pipeline(setup):
     """Flow-matching latent sampling through the pipeline (ODE solver path)."""
     import dataclasses
@@ -155,6 +162,7 @@ def test_flow_sampling_pipeline(setup):
     assert np.isfinite(np.asarray(xyz14)).all()
 
 
+@pytest.mark.slow
 def test_cfg_scales(setup):
     """cfg wiring (reference's broken test.py:525 path, fixed here):
     cfg=1 reproduces the unguided sample exactly (u + 1*(c-u) = c on the
@@ -231,6 +239,7 @@ def test_graph_validity_chunked_matches_dense():
     assert (bg != br).sum() > 0  # perturbation actually broke bonds
 
 
+@pytest.mark.slow
 def test_cfg_monotonic_shift(setup):
     """Guidance strength shifts samples monotonically: the deviation from
     the cfg=1 (pure conditional) trajectory grows with the scale

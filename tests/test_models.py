@@ -23,6 +23,7 @@ def small_batch():
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+@pytest.mark.slow
 def test_encoder_shapes_and_translation_invariance(small_batch):
     enc = E3Encoder(n_atom_basis=36)
     params = enc.init(jax.random.PRNGKey(0), small_batch)
@@ -125,6 +126,7 @@ def test_fsq():
     assert (np.asarray(idx) >= 0).all() and (np.asarray(idx) < 7 * 5**4).all()
 
 
+@pytest.mark.slow
 def test_denoiser_forward_and_jit(small_batch):
     model = mpnn_diffusion(input_size=3, learn_sigma=True, k_neighbors=8, dropout=0.0)
     Bsz, L = small_batch["res_type"].shape
@@ -165,6 +167,7 @@ def test_nearest_code_exact():
     assert idx.tolist() == [0, 2]
 
 
+@pytest.mark.slow
 def test_forward_with_cfg(small_batch):
     """CFG forward works (the reference declares but never defines it for
     the MPNN backbone) and halves carry the same guided mean."""
@@ -191,6 +194,7 @@ def test_forward_with_cfg(small_batch):
                                np.asarray(out[Bsz:, :, :3]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_self_conditioning_training_losses(small_batch):
     from codlad_tpu.gen.diffusion import create_diffusion
 
@@ -299,6 +303,7 @@ def test_vq_gumbel_variant():
                                   sims.argmax(-1))
 
 
+@pytest.mark.slow
 def test_build_quantize_reference_aliases():
     """build_quantize must accept every reference method string
     (utils/vq_module.py:98-163 dispatch)."""
@@ -411,6 +416,7 @@ def test_denoiser_residual_adaln_runs():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_build_quantize_variants_train_step():
     """quantize_type dispatch (reference build_quantize,
     utils/vq_module.py:98-163): every variant drives a full Stage-1 train
@@ -458,6 +464,7 @@ def test_build_quantize_variants_train_step():
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_encoder_bf16_compute_close_to_f32():
     """bf16 TP feature path (Stage-1 -bf16 flag): finite and within bf16
     tolerance of the f32 path; geometry/readout stay f32."""
@@ -481,6 +488,7 @@ def test_encoder_bf16_compute_close_to_f32():
     assert err < 0.1, err
 
 
+@pytest.mark.slow
 def test_denoiser_remat_equivalence():
     """remat=True (jax.checkpoint'd layers): identical params/outputs/
     gradients to the plain model - only the backward's memory schedule

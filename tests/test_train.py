@@ -31,6 +31,7 @@ def tiny_batch():
     return {k: jnp.asarray(v) for k, v in B.collate(exs, spec).items()}
 
 
+@pytest.mark.slow
 def test_vqvae_train_step_decreases_loss(tiny_batch):
     vae = VAE(embed_dim=36, vqdim=3, mode="vqvae", dec_nconv=2, enc_nconv=2)
     rng = jax.random.PRNGKey(0)
@@ -51,6 +52,7 @@ def test_vqvae_train_step_decreases_loss(tiny_batch):
     assert set(m) >= {"bond", "angle", "torsion", "xyz", "graph", "clash", "loss"}
 
 
+@pytest.mark.slow
 def test_latent_diffusion_step_and_dp_mesh(tiny_batch):
     model = mpnn_diffusion(input_size=3, learn_sigma=True, k_neighbors=8,
                            dropout=0.1)
@@ -94,6 +96,7 @@ def test_latent_diffusion_step_and_dp_mesh(tiny_batch):
 
 
 @pytest.mark.parametrize("kind", ["icfm", "fm", "vpfm", "otcfm"])
+@pytest.mark.slow
 def test_latent_flow_steps(tiny_batch, kind):
     model = mpnn_diffusion(input_size=3, learn_sigma=False, k_neighbors=8,
                            dropout=0.0)
@@ -114,6 +117,7 @@ def test_latent_flow_steps(tiny_batch, kind):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_sbcfm_step(tiny_batch):
     # sbcfm needs the doubled output head (velocity + score)
     model = mpnn_diffusion(input_size=3, learn_sigma=True, k_neighbors=8,
@@ -136,6 +140,7 @@ def test_sbcfm_step(tiny_batch):
     assert "score" in metrics
 
 
+@pytest.mark.slow
 def test_latent_step_with_loss_resampler(tiny_batch):
     """Loss-second-moment t sampling wired through the train step."""
     from codlad_tpu.gen.timestep_sampler import LossSecondMomentResampler
@@ -166,6 +171,7 @@ def test_latent_step_with_loss_resampler(tiny_batch):
     assert rs._loss_counts.sum() > 0
 
 
+@pytest.mark.slow
 def test_latent_step_mixed_precision_close():
     """compute_dtype='bfloat16' (the --bf16 flag): same step API, finite
     loss close to the f32 path (network in bf16, diffusion math f32)."""
@@ -224,6 +230,7 @@ def test_apply_class_dropout():
     assert row_is_null.any() and row_is_orig.any()
 
 
+@pytest.mark.slow
 def test_latent_step_with_class_dropout_trains():
     """Train step with --class_dropout_prob: finite loss + nonzero grads
     through the null-token path (prob 1.0 -> all sequences null)."""
@@ -290,6 +297,7 @@ def test_feature_dataset_fresh_reparametrization(tmp_path):
         assert np.abs(zscore).max() < 6.0
 
 
+@pytest.mark.slow
 def test_adaln_gates_receive_gradient():
     """Regression: with flax's default zero biases the trunk-gated
     adaLN-zero denoiser is in an EXACT gradient deadlock (every gate
@@ -341,6 +349,7 @@ def test_adaln_gates_receive_gradient():
         assert mx > 0, f"{probe} adaLN modulation never received gradient"
 
 
+@pytest.mark.slow
 def test_latent_step_grad_accum(tiny_batch):
     """optax.MultiSteps accumulation: params move only on every N-th
     micro-step; the accumulated update approximates the full-batch one."""
@@ -381,6 +390,7 @@ def test_latent_step_grad_accum(tiny_batch):
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
 
 
+@pytest.mark.slow
 def test_vqvae_fault_injection_skips_poisoned_batch(tiny_batch):
     """Fault injection (SURVEY 5.3): a batch that produces a non-finite
     loss must be skipped as a zero-gradient step — params AND VQ state
@@ -417,6 +427,7 @@ def test_vqvae_fault_injection_skips_poisoned_batch(tiny_batch):
     assert any(jax.tree.leaves(moved))
 
 
+@pytest.mark.slow
 def test_latent_step_with_batch_partitioned_kernels(tiny_batch):
     """Integration: the FULL Stage-2 train step on the 8-device mesh with
     set_kernel_mesh active and the real Pallas kernels running interpreted
@@ -498,6 +509,7 @@ def test_latent_step_with_batch_partitioned_kernels(tiny_batch):
     assert abs(gp - gr) / max(gr, 1e-9) < 0.02, (gp, gr)
 
 
+@pytest.mark.slow
 def test_vqvae_dp_matches_single_device():
     """VQ-EMA under data parallelism (SURVEY hard part 4; the reference's
     Stage 1 is single-GPU, train_vqvae.py:42): one Stage-1 train step with
