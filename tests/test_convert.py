@@ -76,6 +76,7 @@ def test_imported_model_runs_and_bond_head_is_exact(imported, batch):
     assert 1.0 < bb[:20].mean() < 2.0
 
 
+@pytest.mark.slow
 def test_imported_prior_statistics(imported, batch):
     """The imported CG prior produces bounded, structured (mu, sigma)."""
     from codlad_tpu.models.vae import GenZProt

@@ -115,6 +115,7 @@ def test_ic_xyz_roundtrip(seed):
     np.testing.assert_allclose(dt[mask], np.zeros(mask.sum()), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_ic_to_xyz14_jits_and_ca_passthrough():
     rng = np.random.default_rng(3)
     B, L = 1, 16

@@ -39,6 +39,7 @@ def test_encoder_shapes_and_translation_invariance(small_batch):
     np.testing.assert_allclose(np.asarray(h), np.asarray(h2), atol=3e-4)
 
 
+@pytest.mark.slow
 def test_encoder_padding_independence(small_batch):
     """Garbage in padded residues must not leak into valid outputs."""
     enc = E3Encoder(n_atom_basis=36)
@@ -145,6 +146,7 @@ def test_denoiser_forward_and_jit(small_batch):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_denoiser_padding_independence(small_batch):
     model = mpnn_diffusion(input_size=3, learn_sigma=True, k_neighbors=8, dropout=0.0)
     Bsz, L = small_batch["res_type"].shape
@@ -266,6 +268,7 @@ def test_vq_multihead_and_orthogonal():
     assert float(orthogonal_reg_loss(rnd, weight=10.0)) > 0
 
 
+@pytest.mark.slow
 def test_vq_gumbel_variant():
     """Gumbel/cosine VQ (reference 'low3_num16_gumble_cos',
     utils/vq_module.py:152-160): stochastic sampling at train time with
@@ -370,6 +373,7 @@ def test_sparse_dense_edge_ops_agree():
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=red)
 
 
+@pytest.mark.slow
 def test_adaln_gate_modes():
     """'trunk' (reference) zeroes the whole layer output at init
     (protein_mpnn_utils.py:249,270); 'residual' (DiT-style opt-in) is the
@@ -398,6 +402,7 @@ def test_adaln_gate_modes():
     np.testing.assert_allclose(np.asarray(e2), np.asarray(h_E), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_denoiser_residual_adaln_runs():
     from codlad_tpu.models.denoiser import mpnn_diffusion
 
@@ -536,6 +541,7 @@ def test_denoiser_remat_equivalence():
     assert np.isfinite(np.asarray(out_d)).all()
 
 
+@pytest.mark.slow
 def test_residual_vq_and_quantizer_dispatch():
     """rvq: quantization error drops with every stage; the Quantizer
     dispatches rvq and multihead with per-stage/head state lists, and
