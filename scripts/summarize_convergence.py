@@ -21,8 +21,11 @@ def load(path):
 
 
 def mean(stats, key):
-    vals = [v[key] for v in stats.values() if isinstance(v, dict)
-            and key in v]
+    # Per-protein rows only: cli.test also writes __global__ (scalar means,
+    # would double-count) and __global_stats__ ({mean,std} dicts, would
+    # TypeError under sum()).
+    vals = [v[key] for k, v in stats.items() if isinstance(v, dict)
+            and not k.startswith("__") and key in v]
     return sum(vals) / max(len(vals), 1)
 
 
@@ -30,7 +33,7 @@ def main(root):
     recon = load(os.path.join(root, "eval_recon", "summary_stats.json"))
     latent = load(os.path.join(root, "eval_latent", "summary_stats.json"))
     prots = sorted(k for k in recon if k in latent and
-                   isinstance(recon[k], dict))
+                   isinstance(recon[k], dict) and not k.startswith("__"))
 
     print("| metric | recon floor (Stage 1) | latent sampled (Stage 1+2) "
           "| gap |")
