@@ -270,3 +270,42 @@ def test_cfg_monotonic_shift(setup):
         devs.append(float(np.abs(out - ref).mean()))
     assert devs[0] > 1e-5
     assert devs[0] < devs[1] < devs[2], devs
+
+
+def test_summarize_convergence_skips_aggregate_rows(tmp_path, capsys):
+    """scripts/summarize_convergence must average per-protein rows only:
+    cli.test also writes __global__ (scalar means, double-counts) and
+    __global_stats__ ({mean,std} dicts, TypeErrors under sum()) — the
+    round-5 floor-study orchestrator crashed on exactly this."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "summarize_convergence",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "summarize_convergence.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    row = {"rmsd_aligned": 1.0, "ged": 0.5, "clash": 0.1,
+           "graph_valid_ratio": 0.9, "div": 0.3}
+    summary = {
+        "prot_0000.npz": dict(row),
+        "prot_0001.npz": {k: 3 * v for k, v in row.items()},
+        "__global__": {k: 2 * v for k, v in row.items()},
+        "__global_stats__": {k: {"mean": 2 * v, "std": 0.0}
+                             for k, v in row.items()},
+    }
+    for sub in ("eval_recon", "eval_latent"):
+        d = tmp_path / sub
+        d.mkdir()
+        (d / "summary_stats.json").write_text(json.dumps(summary))
+
+    assert mod.mean(summary, "rmsd_aligned") == 2.0  # (1 + 3) / 2
+
+    mod.main(str(tmp_path))
+    out = capsys.readouterr().out
+    assert "| rmsd_aligned | 2.0000 | 2.0000 | +0.0000 |" in out
+    assert "__global__" not in out
