@@ -66,6 +66,10 @@ def build_parser():
                    help="debug: append consumed (file,row) pairs per host "
                         "to this path (multi-host coverage testing)")
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--max_seconds", type=float, default=None,
+                   help="wall-clock budget: save + run a final validation "
+                        "+ stop cleanly (rc=0) once training has run this "
+                        "long — for time-boxed studies on a shared chip")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true", default=False)
     p.add_argument("--model_ckpt", type=str, default=None,
@@ -370,6 +374,7 @@ def main(argv=None):
     state = mesh_mod.replicate(state, mesh)
 
     train_steps = int(state.step)
+    run_t0 = time.time()
     log_t0, log_steps = time.time(), 0
     # best-checkpoint selection survives watermark restarts: re-derive the
     # best validation loss from the metrics this run already logged —
@@ -481,13 +486,22 @@ def main(argv=None):
             if args.max_steps and train_steps >= args.max_steps:
                 stop = True
                 break
+            if args.max_seconds and time.time() - run_t0 > args.max_seconds:
+                logger.info(
+                    f"wall-clock budget {args.max_seconds:.0f}s reached at "
+                    f"step {train_steps} — saving and stopping")
+                ckpt.save(state, "last")
+                stop = True
+                break
 
         # validation (reference train_latent.py:299-375): batches are
         # mesh-sharded like training ones, so the masked means inside
         # eval_step reduce over the GLOBAL batch (XLA inserts the
         # collectives — the reference's gather_for_metrics); every host
         # computes the identical vloss, saves happen on main only
-        if (epoch + 1) % max(args.val_every_epochs, 1) != 0:
+        # bounded runs (max_steps / max_seconds) always get a final
+        # validation so the 'best' checkpoint reflects the finishing state
+        if (epoch + 1) % max(args.val_every_epochs, 1) != 0 and not stop:
             continue
         vnum = vden = 0.0
 

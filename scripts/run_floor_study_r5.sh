@@ -15,6 +15,12 @@
 #   4. emit the recon-vs-latent floor table (results/convergence/FLOOR_TABLE.md)
 #
 # Usage: nohup scripts/run_floor_study_r5.sh > /tmp/floor_study.log 2>&1 &
+#
+# Time-boxing on a shared/tunneled chip: set DEADLINE_EPOCH (unix seconds)
+# and MAX_STEPS in the environment — both propagate into
+# run_stage2_convergence.sh, which converts the deadline into a
+# --max_seconds clean stop (save + final validation + rc 0) so the evals
+# and the floor table still land inside the budget.
 set -u
 cd "$(dirname "$0")/.."
 LOG=results/convergence

@@ -18,6 +18,11 @@ STATS=${STATS:-results/convergence/stats}
 EXP=${EXP:-results/convergence/latent}
 WATERMARK=${WATERMARK:-70}
 MAX_STEPS=${MAX_STEPS:-50000}
+# Optional absolute wall-clock deadline (unix epoch seconds).  When set,
+# each (re)invocation gets the remaining budget as --max_seconds so the
+# trainer saves + final-validates + exits 0 in time for downstream eval
+# even if MAX_STEPS hasn't been reached (time-boxed study on a shared chip).
+DEADLINE_EPOCH=${DEADLINE_EPOCH:-0}
 
 if [ ! -f "$FEATURES/.done" ]; then
   python -m codlad_tpu.cli.extract_features --ckpt "$VAE" \
@@ -30,7 +35,16 @@ if [ ! -f "$FEATURES/.done" ]; then
 fi
 
 while :; do
-  python -m codlad_tpu.cli.train_latent \
+  EXTRA=""
+  if [ "$DEADLINE_EPOCH" -gt 0 ]; then
+    LEFT=$(( DEADLINE_EPOCH - $(date +%s) ))
+    if [ "$LEFT" -le 120 ]; then
+      echo "[supervisor] deadline reached — stopping with current checkpoints"
+      exit 0
+    fi
+    EXTRA="--max_seconds $LEFT"
+  fi
+  python -m codlad_tpu.cli.train_latent $EXTRA \
     --feature_dir "$FEATURES" --val_dir "$FEATURES/val" --exp "$EXP" \
     --model diffusion --backbone mpnn_diffusion --latent_size 3 \
     --batch_size 128 --lr 3e-4 --warmup 3000 --schedule_steps "$MAX_STEPS" \
