@@ -248,3 +248,30 @@ def test_seq_shard_cli(workdir):
     ])
     g = summary["__global__"]
     assert np.isfinite(g["rmsd"]) and np.isfinite(g["div"])
+
+
+def test_max_seconds_budget(workdir):
+    """--max_seconds: a deadline-bounded run stops after the running step,
+    saves `last`, and force-runs a final validation so `best` reflects the
+    finishing state (floor-study time-boxing on a shared chip)."""
+    from codlad_tpu.cli import train_latent
+
+    feat_dir = str(workdir / "features")
+    stats_dir = str(workdir / "stats")
+    if not os.path.isdir(feat_dir):
+        pytest.skip("needs test_full_pipeline's features")
+    exp_dir = str(workdir / "latent_budget")
+    train_latent.main([
+        "--feature_dir", feat_dir, "--exp", exp_dir, "--model", "diffusion",
+        "--latent_size", "3", "--batch_size", "4", "--epochs", "5",
+        "--max_steps", "1000", "--warmup", "2", "--save_step", "1000",
+        "--stats_name", "TEST", "--stats_dir", stats_dir, "--dropout", "0.0",
+        "--log_step", "1000", "--val_every_epochs", "100",
+        "--max_seconds", "0.001",
+    ])
+    # budget (well under one step) fires on the first loop iteration
+    assert os.path.isdir(os.path.join(exp_dir, "last"))
+    # final validation is forced on a budget stop despite val_every_epochs=100
+    assert os.path.isdir(os.path.join(exp_dir, "best"))
+    log = open(os.path.join(exp_dir, "log.txt")).read()
+    assert "wall-clock budget" in log
