@@ -77,8 +77,18 @@ def main(argv=None):
 
     mode = cfg.get("train_section", "vqvae")
 
+    from codlad_tpu.data.batch import compress_indices, decompress_indices
+
+    # The encoder touches only these keys (models/encoder.py,
+    # models/prior.py); shipping the full shard dict would also push the
+    # 32k-capacity clash/inter/bond edge lists through the tunnel for
+    # nothing.
+    ENC_KEYS = ("res_type", "atom_mask", "xyz14", "cg_xyz_og", "res_mask",
+                "atom_edges", "atom_edges_mask", "cg_edges", "cg_edges_mask")
+
     @jax.jit
     def encode(b, key):
+        b = decompress_indices(b)
         h, (mu, sigma) = vae.apply(state.params, b, method=VAE.encode)
         if mode in ("fgvae", "cgvae"):
             if args.learn_sigma:
@@ -98,16 +108,37 @@ def main(argv=None):
     all_latents, all_masks = [], []
     usage = np.zeros(cfg.get("codebook_size", 4096), np.int64)
 
+    B = args.batch_size
     for fname in data.files:
         spec, shard = load_protein_shard(os.path.join(args.data_dir, fname))
-        b = {k: jnp.asarray(v) for k, v in shard.items()}
-        h, mu, sigma = encode(b, jax.random.fold_in(rng, hash(fname) % (2**31)))
-        h = np.asarray(h)
+        # chunk the shard's frames at a static batch shape: a whole
+        # convergence-scale shard (1000 frames x 32k-edge capacity) is
+        # ~33 GB as one jit call — 2x the chip's HBM.  The last chunk is
+        # padded by repeating its final frame so every chunk reuses the
+        # same compiled (L-bucket, B) executable.
+        n = shard["res_type"].shape[0]
+        hs, mus, sigmas = [], [], []
+        for i0 in range(0, n, B):
+            nb = min(B, n - i0)
+            sl = {k: shard[k][i0:i0 + B] for k in ENC_KEYS if k in shard}
+            if nb < B:
+                sl = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], B - nb, axis=0)], axis=0)
+                    for k, v in sl.items()}
+            sl = compress_indices(sl)
+            b = {k: jnp.asarray(v) for k, v in sl.items()}
+            hc, mc, sc = encode(
+                b, jax.random.fold_in(rng, (hash(fname) ^ i0) % (2**31)))
+            hs.append(np.asarray(hc)[:nb])
+            if mc is not None:
+                mus.append(np.asarray(mc)[:nb])
+                sigmas.append(np.asarray(sc)[:nb])
+        h = np.concatenate(hs, axis=0)
         mask = shard["res_mask"]
         extra = {}
-        if mu is not None:
-            extra = {"mu": np.asarray(mu, np.float32),
-                     "sigma": np.asarray(sigma, np.float32)}
+        if mus:
+            extra = {"mu": np.concatenate(mus, 0).astype(np.float32),
+                     "sigma": np.concatenate(sigmas, 0).astype(np.float32)}
         np.savez_compressed(
             os.path.join(args.out_dir, fname),
             latents=h.astype(np.float32), res_mask=mask,

@@ -27,9 +27,11 @@ DEADLINE_EPOCH=${DEADLINE_EPOCH:-0}
 if [ ! -f "$FEATURES/.done" ]; then
   python -m codlad_tpu.cli.extract_features --ckpt "$VAE" \
     --data_dir "$TRAIN" --out_dir "$FEATURES" \
+    --batch_size "${EXTRACT_BS:-16}" \
     --stats_name CONV --stats_dir "$STATS" || exit 1
   python -m codlad_tpu.cli.extract_features --ckpt "$VAE" \
     --data_dir "$VAL" --out_dir "$FEATURES/val" \
+    --batch_size "${EXTRACT_BS:-16}" \
     --stats_name CONV_VAL --stats_dir "$STATS/val_unused" || exit 1
   touch "$FEATURES/.done"
 fi
