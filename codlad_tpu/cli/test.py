@@ -25,7 +25,11 @@ import numpy as np
 def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--experiment", type=str, default="latent",
-                   choices=["recon", "latent", "genzprot"])
+                   choices=["recon", "latent", "genzprot", "prior"],
+                   help="prior = decode N(0,I) latents in NORMALIZED "
+                        "space (the diffusion prior with zero denoising "
+                        "steps) — the no-model floor-table baseline that "
+                        "brackets what Stage 2 contributes")
     p.add_argument("--model", type=str, default="diffusion",
                    choices=["diffusion", "fm", "icfm", "vpfm", "otcfm", "sbcfm"])
     p.add_argument("--vae_ckpt", type=str, required=True)
@@ -289,6 +293,22 @@ def main(argv=None):
             agg = run_ensemble(pipeline, batch, args.num_ensemble,
                                seed=args.seed, return_structures=export,
                                log_fn=log_fn, fold=args.ensemble_fold)
+            if export:
+                agg, structures = agg
+        elif args.experiment == "prior":
+            # no-model baseline: decode iid N(0,I) latents (normalized
+            # space = the diffusion prior at t=T, zero denoising) through
+            # the same VQ-snap + IC-decode path; the trained Stage-2
+            # latent number should land between this and the recon floor
+            latent_dim = pipeline.latent_size
+            def sample_fn(rng, b):
+                lat = jax.random.normal(
+                    rng, b["res_type"].shape + (latent_dim,))
+                return pipeline.decode(b, lat)
+            agg = run_ensemble(pipeline, batch, args.num_ensemble,
+                               seed=args.seed, sample_fn=sample_fn,
+                               return_structures=export, log_fn=log_fn,
+                               fold=args.ensemble_fold)
             if export:
                 agg, structures = agg
         elif args.experiment == "genzprot":
